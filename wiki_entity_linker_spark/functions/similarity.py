@@ -1,0 +1,162 @@
+"""Pairwise similarity scorers — Arrow-batched pandas UDFs, no per-row Python.
+
+Recast of the reference's batched candidate scorer
+(trained_entity_linker.py:124-142: all candidates of a mention scored as one
+tensor batch): candidate pairs arrive as Arrow record batches and are scored
+per-batch inside one Python call. Nothing here is registered as a
+row-at-a-time ``F.udf``.
+
+Where Spark has a JVM-side builtin (``levenshtein``) we prefer it — built-ins
+run inside whole-stage codegen and beat any UDF; the pandas UDFs cover what
+the JVM lacks (Jaro-Winkler, TF-IDF cosine).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# JVM-side scorers (preferred where a builtin exists)
+# ---------------------------------------------------------------------------
+
+def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
+    """1 - levenshtein(a,b) / max(len) — JVM builtin, codegen'd.
+
+    Matches DuckDB ``1 - levenshtein(a,b)/greatest(length(a),length(b))``.
+    """
+    ca, cb = _c(a), _c(b)
+    denom = F.greatest(F.length(ca), F.length(cb))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(ca, cb) / denom.cast("double")
+    )
+
+
+def token_jaccard(tokens_a: Column | str, tokens_b: Column | str) -> Column:
+    """Jaccard over distinct token arrays — pure higher-order functions."""
+    ta = F.array_distinct(_c(tokens_a))
+    tb = F.array_distinct(_c(tokens_b))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = (F.size(ta) + F.size(tb)).cast("double") - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (standard: boost threshold 0.7, prefix ≤ 4, scale 0.1)
+# ---------------------------------------------------------------------------
+
+def _jaro(s1: str, s2: str) -> float:
+    len1, len2 = len(s1), len(s2)
+    # empty input → 0.0 even for two empties (DuckDB oracle convention)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    match_dist = max(len1, len2) // 2 - 1
+    s1_matches = [False] * len1
+    s2_matches = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(i + match_dist + 1, len2)
+        for j in range(lo, hi):
+            if not s2_matches[j] and s2[j] == ch:
+                s1_matches[i] = s2_matches[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if s1_matches[i]:
+            while not s2_matches[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, boost_threshold: float = 0.7) -> float:
+    """Reference Python implementation (used inside the pandas UDF and by
+    unit tests against DuckDB's ``jaro_winkler_similarity``)."""
+    j = _jaro(s1, s2)
+    if j > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a == b:
+                prefix += 1
+            else:
+                break
+        j += prefix * 0.1 * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler similarity."""
+    av = a.fillna("").to_numpy()
+    bv = b.fillna("").to_numpy()
+    out = np.empty(len(av), dtype=np.float64)
+    for i in range(len(av)):
+        out[i] = jaro_winkler_py(av[i], bv[i])
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine over token arrays (batched; idf-weighted term vectors)
+# ---------------------------------------------------------------------------
+
+def _tfidf_vec(tokens: list[str], idf: dict[str, float] | None) -> dict[str, float]:
+    tf = Counter(tokens)
+    if idf is None:
+        return dict(tf)
+    return {t: c * idf.get(t, 1.0) for t, c in tf.items()}
+
+
+def _cosine(u: dict[str, float], v: dict[str, float]) -> float:
+    if not u or not v:
+        return 1.0 if (not u and not v) else 0.0
+    if len(u) > len(v):
+        u, v = v, u
+    dot = sum(w * v[t] for t, w in u.items() if t in v)
+    nu = math.sqrt(sum(w * w for w in u.values()))
+    nv = math.sqrt(sum(w * w for w in v.values()))
+    if nu == 0.0 or nv == 0.0:
+        return 0.0
+    return dot / (nu * nv)
+
+
+def make_tfidf_cosine_udf(idf: dict[str, float] | None = None):
+    """Build an Arrow-batched cosine scorer over two token-array columns.
+
+    ``idf`` is a plain dict captured in the closure — Spark ships it once per
+    task via the pickled closure (for large vocabularies pass a
+    ``sc.broadcast`` handle's ``.value`` at call time instead). ``idf=None``
+    degrades to raw term-frequency cosine (the oracle-checkable variant).
+    """
+
+    @F.pandas_udf(DoubleType())
+    def tfidf_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        av, bv = a.to_numpy(), b.to_numpy()
+        for i in range(len(av)):
+            ta = list(av[i]) if av[i] is not None else []
+            tb = list(bv[i]) if bv[i] is not None else []
+            out[i] = _cosine(_tfidf_vec(ta, idf), _tfidf_vec(tb, idf))
+        return pd.Series(out)
+
+    return tfidf_cosine_udf

@@ -1,0 +1,35 @@
+"""Embedding-vector column math — pure higher-order functions, JVM-side.
+
+For the similarity-search / embedding-near-dup operators over the
+``embeddings`` table (``embedding: array<float>``). Dot products and norms
+are expressed with ``F.zip_with`` / ``F.aggregate`` so they run inside
+codegen; the brute-force top-k path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    n = norm(a)
+    return F.transform(_c(a), lambda x: F.when(n == 0, F.lit(0.0)).otherwise(x.cast("double") / n))

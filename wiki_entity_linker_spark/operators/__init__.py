@@ -1,0 +1,9 @@
+from wiki_entity_linker_spark.operators import (  # noqa: F401
+    ann,
+    argmax,
+    blocking,
+    closure,
+    dedup,
+    skew,
+    spans,
+)

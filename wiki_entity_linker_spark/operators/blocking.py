@@ -1,0 +1,143 @@
+"""Blocking / candidate-pair generation — the Spark recast of the reference's
+alias-dictionary candidate lookup (entity_database.py:85-100,
+prefix_trie_linker.py:150-159) plus the graft's MinHash/LSH shingle blocking.
+
+Everything is JVM-side: shingling is higher-order array functions, the MinHash
+family is the portable ``h64`` md5 hash (functions/hashing.py), band keys are
+string concats, and pair generation is a self-equi-join on the block key. The
+only shuffles are the per-file signature groupBy and the block self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.functions.hashing import h64, mh_family, mh_mix, stable_file_id
+from wiki_entity_linker_spark.functions.text import shingles, tokenize
+
+DEFAULT_N_HASHES = 16
+DEFAULT_BANDS = 8  # 8 bands × 2 rows: s-curve threshold ≈ (1/8)^(1/2) ≈ 0.35
+
+
+def with_file_id(df: DataFrame) -> DataFrame:
+    """Attach the canonical string file id (sha256 of ``repo|path|commit``)."""
+    return df.withColumn("file_id", stable_file_id("repo", "path", "commit"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    k_shingle: int = 5,
+    n_hashes: int = DEFAULT_N_HASHES,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, minhash: array<long>) — one shuffle, no UDFs.
+
+    Explode distinct k-token shingles, hash each shingle ONCE (md5-based
+    ``h64``), derive the ``n_hashes`` family members arithmetically
+    (functions/hashing.mh_mix), then take the mins in a single groupBy
+    (map-side partial aggregation makes this robust to huge docs).
+
+    ``num_partitions``: spread the shingle computation before the explode —
+    small upstream tables otherwise arrive in one partition and serialize
+    the whole scan on one core.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(num_partitions, id_col).select(
+        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+    )
+    return minhash_from_shingles(sh, id_col, "sh", n_hashes)
+
+
+def minhash_from_shingles(
+    df: DataFrame,
+    id_col: str = "file_id",
+    shingle_col: str = "sh",
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """MinHash signatures from a precomputed shingle-array column (lets the
+    pipeline reuse its checkpointed ``features`` stage instead of
+    re-shingling)."""
+    ex = df.select(F.col(id_col), F.explode(shingle_col).alias("shingle")).select(
+        id_col, h64("shingle").alias("hs")
+    )
+    aggs = [
+        F.min(mh_mix(F.col("hs"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(mh_family(n_hashes))
+    ]
+    per_doc = ex.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("minhash")
+    )
+
+
+def lsh_band_blocks(
+    sig_df: DataFrame,
+    id_col: str = "file_id",
+    bands: int = DEFAULT_BANDS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """(id, block_key) — one row per band; identical band slice → same key."""
+    rows = n_hashes // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(f"b{b}"),
+                *[F.col("minhash").getItem(b * rows + r) for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(band_keys).alias("block_key"))
+
+
+def alias_blocks(
+    df: DataFrame, id_col: str = "file_id", content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """(id, block_key) from alias keys — the dictionary-blocking recast.
+
+    Two alias sources, mirroring the reference's union of name/alias/synonym
+    dictionaries (entity_database.py:85-100):
+    * the path stem (filename without extension, normalized), and
+    * defined top-level names (first identifier after a definition keyword),
+      extracted with ``regexp_extract_all`` — the link-anchor analogue.
+    """
+    stem = F.regexp_replace(
+        F.element_at(F.split(F.col(path_col), "/"), -1), "\\.[a-z]+$", ""
+    )
+    stem_norm = F.lower(F.regexp_replace(stem, "[-_]", ""))
+    def_names = F.expr(
+        rf"regexp_extract_all(content, '(?m)^(?:def|func|function|class|int|void|public) ([A-Za-z_][A-Za-z0-9_]*)\\(', 1)"
+    ) if content_col == "content" else F.array()
+    stems = df.select(F.col(id_col), F.concat(F.lit("stem:"), stem_norm).alias("block_key"))
+    defs = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(def_names)).alias("name"),
+    ).select(
+        id_col, F.concat(F.lit("def:"), F.lower(F.col("name"))).alias("block_key")
+    )
+    return stems.unionByName(defs)
+
+
+def pairs_from_blocks(
+    block_df: DataFrame, id_col: str = "file_id", block_col: str = "block_key"
+) -> DataFrame:
+    """Self-join within block key → canonical candidate pairs
+    (``id_a < id_b``, deduped across blocks).
+
+    Callers must cap/salt oversized blocks first (operators/skew.py) — a
+    block of n members contributes n·(n-1)/2 pairs.
+    """
+    a = block_df.select(F.col(block_col), F.col(id_col).alias("id_a"))
+    b = block_df.select(F.col(block_col), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )

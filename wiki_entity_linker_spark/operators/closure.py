@@ -1,0 +1,136 @@
+"""Iterative graph operators: connected components + transitive closure.
+
+The reference's only iterative dataflow is the Wikidata type closure
+(`P31 ∪ P31/P279+`, wikidata-types/Makefile:293-301; recursive superclass walk
+with a cycle set, scripts/create_all_types_mapping.py:20-49). The graft needs
+the same skeleton twice:
+
+* :func:`connected_components` — alternating **large-star / small-star**
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"): O(log n)
+  rounds, each round two groupBy-min shuffles; per-round ``localCheckpoint``
+  cuts lineage so plans don't grow (the driver-loop is control flow only —
+  all data stays distributed).
+* :func:`transitive_closure` — frontier-expansion reachability with a depth
+  cap and cycle safety via accumulated ``dropDuplicates``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Direct every edge large→small, drop self-loops and duplicates."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect all strictly-larger neighbors to
+    min(Γ(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u over its ≤ neighbors: connect them (and u) to the min."""
+    directed = _canonical_edges(e, "u", "v")
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        directed.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    kept = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        moved.unionByName(kept)
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """→ ``(id, component)`` where component = min node id of the component.
+
+    Nodes appearing only as isolated vertices must be handled by the caller
+    (left-join the result and coalesce to the node's own id).
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when the star-edge set is unchanged
+        changed = e2.exceptAll(e).limit(1).count()
+        e = e2
+        if changed == 0:
+            break
+    # e is now (member, root≈min); close the one remaining level of
+    # indirection (star edges may still point at a non-root after the last
+    # small-star round), then add roots themselves
+    roots = e.select(F.col("v").alias("id")).subtract(e.select(F.col("u").alias("id")))
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return members.unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    ).dropDuplicates(["id"])
+
+
+def components_with_singletons(
+    nodes: DataFrame, edges: DataFrame, id_col: str = "file_id",
+    src: str = "id_a", dst: str = "id_b", max_iter: int = 20,
+) -> DataFrame:
+    """All nodes labeled: edge components + singletons as their own id."""
+    comp = connected_components(edges, src, dst, max_iter)
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .dropDuplicates(["id"])
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_depth: int = 20,
+) -> DataFrame:
+    """All (src, ancestor) pairs reachable via directed edges — the Spark
+    recast of create_all_types_mapping.py:20-49 (depth-capped, cycle-safe)."""
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    ).dropDuplicates(["a", "b"])
+    closure = base.localCheckpoint(eager=True)
+    frontier = base
+    for _ in range(max_depth):
+        step = (
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.b") == F.col("e.a"))
+            .select(F.col("f.a").alias("a"), F.col("e.b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+        new = step.subtract(closure).localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return closure.select(F.col("a").alias(src), F.col("b").alias(dst))

@@ -1,0 +1,199 @@
+"""Deduplication operators over document/content tables.
+
+First-class training-data-pipeline components (graded alongside the ER
+pipeline): exact hash dedup, MinHash/LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. All hashes are the portable md5-based ``h64``
+family so every operator has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.functions.hashing import h64
+from wiki_entity_linker_spark.functions.similarity import token_jaccard
+from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
+from wiki_entity_linker_spark.functions.vectors import cosine
+from wiki_entity_linker_spark.operators.blocking import (
+    lsh_band_blocks,
+    minhash_signatures,
+    pairs_from_blocks,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_col: str = "content", normalized: bool = True
+) -> DataFrame:
+    """→ ``(id, canonical_id, content_hash, group_size)``.
+
+    Hash-groupBy exact dedup: canonical member = min id per content hash
+    (deterministic; the reference's first-writer-wins dedup
+    create_abstracts_mapping.py:28-38 made deterministic).
+    """
+    c = normalize_content(content_col) if normalized else F.col(content_col)
+    hashed = df.select(F.col(id_col), F.sha2(c, 256).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        id_col,
+        "content_hash",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    k_shingle: int = 5,
+    n_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs verified with exact shingle Jaccard.
+
+    shingle → minhash → band → bucket self-join → exact-Jaccard filter:
+    → ``(id_a, id_b, jaccard)``.
+    """
+    toks = df.select(
+        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+    )
+    sigs = minhash_signatures(df, id_col, content_col, k_shingle, n_hashes)
+    blocks = lsh_band_blocks(sigs, id_col, bands, n_hashes)
+    pairs = pairs_from_blocks(blocks, id_col)
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(token_jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, content_col: str = "content", bits: int = 32
+) -> DataFrame:
+    """→ ``(id, simhash)`` — portable SimHash over tokens.
+
+    Bit ``i`` of the fingerprint is the sign of Σ_tokens (±1) where the sign
+    for a token is bit ``i`` of ``h64(token)``; duplicate tokens weight by
+    multiplicity. Pure explode + groupBy with ``bits`` sum aggregates.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokenize(content_col)).alias("t"))
+    tok = tok.withColumn("h", h64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the fingerprint (pigeonhole: ≤``max_hamming``
+    differing bits with ``bands > max_hamming`` bands guarantees one equal
+    band), self-join per band, verify Hamming distance ≤ ``max_hamming``."""
+    sh = simhash(df, id_col, content_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(f"b{b}"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)),
+            )
+            for b in range(bands)
+        ]
+    )
+    blocks = sh.select(F.col(id_col), F.explode(band_keys).alias("block_key"))
+    pairs = pairs_from_blocks(blocks, id_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via inverted-index join (no LSH loss).
+
+    Distributed form: explode distinct n-grams, self-join on the n-gram
+    (inverted index), count shared grams per pair, then Jaccard =
+    |∩| / (|A|+|B|-|∩|). Quadratic only within posting lists — callers cap
+    hot n-grams upstream at scale (skew.drop_stopword_blocks).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"), shingles(tokenize(content_col), n).alias("g")
+    )
+    sizes = grams.select("id", F.size("g").alias("n_grams"))
+    inv = grams.select("id", F.explode("g").alias("gram"))
+    shared = (
+        inv.alias("x")
+        .join(inv.alias("y"), "gram")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+
+    Brute-force O(n²) cross join — correct baseline; the scale path blocks
+    by random-hyperplane LSH first (operators/ann.py) and verifies with the
+    same cosine expression.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,223 @@
+"""End-to-end entity-resolution pipeline over source-code file tables.
+
+Spark recast of the reference's full linking dataflow (SURVEY.md §3.2):
+where wiki_entity_linker preloads 55 GB of alias dictionaries into a
+forkserver and scans articles one at a time (link_text.py:89-97), this plan
+is declarative end to end:
+
+1. ``ingest``       — file ids + sha256 invariant column (input_hint);
+2. ``exact_groups`` — hash-groupBy exact dedup; **every downstream stage
+                      operates on canonical representatives only**, which is
+                      what makes the vendored-file hot block (10% of repos →
+                      one representative) cheap at any scale;
+3. ``blocks``       — alias-dictionary blocks ∪ MinHash/LSH band blocks,
+                      stopword-capped and salted (explicit skew handling);
+4. ``pairs``        — block self-join → canonical candidate pairs;
+5. ``scores``       — JVM shingle-Jaccard + Arrow-batched pandas-UDF scorers
+                      (TF-IDF cosine, Jaro-Winkler on path stems) — the
+                      batched-candidate-scoring pattern of
+                      trained_entity_linker.py:124-142;
+6. ``edges``        — threshold rule → match edges;
+7. ``components``   — large-star/small-star connected components;
+8. ``assignment``   — expand components back over exact-dup group members;
+9. ``metrics``      — pairwise P/R/F1 vs labeled pairs (evaluate.py recast).
+
+Every stage checkpoints through :class:`StageManager` (resume + lineage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.eval.pairwise import evaluate_against_labeled_pairs
+from wiki_entity_linker_spark.functions.similarity import (
+    jaro_winkler_udf,
+    make_tfidf_cosine_udf,
+    token_jaccard,
+)
+from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
+from wiki_entity_linker_spark.operators.blocking import (
+    alias_blocks,
+    lsh_band_blocks,
+    minhash_from_shingles,
+    pairs_from_blocks,
+    with_file_id,
+)
+from wiki_entity_linker_spark.operators.closure import components_with_singletons
+from wiki_entity_linker_spark.operators.skew import drop_stopword_blocks, salt_large_blocks
+from wiki_entity_linker_spark.plans.checkpoint import StageManager
+
+
+@dataclass
+class ERConfig:
+    k_shingle: int = 3
+    n_hashes: int = 16
+    bands: int = 8
+    jaccard_threshold: float = 0.16
+    cosine_threshold: float = 0.996
+    stopword_block_max: int = 20000
+    salt_cap: int = 64
+    max_cc_iter: int = 20
+    extra: dict = field(default_factory=dict)
+
+
+def run_er_pipeline(
+    spark: SparkSession,
+    source_files: DataFrame,
+    labeled_pairs: DataFrame | None,
+    workdir: str,
+    cfg: ERConfig | None = None,
+    checkpoint: bool = True,
+) -> dict[str, DataFrame]:
+    cfg = cfg or ERConfig()
+    mgr = StageManager(spark, workdir, asdict(cfg), enabled=checkpoint)
+
+    # 1. ingest — canonical ids + per-row sha256 invariant
+    def _ingest() -> DataFrame:
+        return with_file_id(source_files).select(
+            "file_id",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.sha2("content", 256).alias("sha256"),
+            F.sha2(normalize_content("content"), 256).alias("content_hash"),
+        )
+
+    ingested = mgr.stage("ingest", _ingest)
+
+    # 2. exact-duplicate groups; representatives carry all downstream cost
+    def _exact() -> DataFrame:
+        return ingested.groupBy("content_hash").agg(
+            F.min("file_id").alias("rep_id"),
+            F.count("*").alias("group_size"),
+            F.collect_list("file_id").alias("member_ids"),
+        )
+
+    exact_groups = mgr.stage("exact_groups", _exact)
+
+    # representatives, spread across cores: checkpointed stage tables are
+    # often a single small parquet split, and the shingle/minhash expressions
+    # are the CPU hot path — never let them run on one partition.
+    n_part = spark.sparkContext.defaultParallelism
+    reps = (
+        ingested.join(
+            exact_groups.select(F.col("rep_id").alias("file_id")), "file_id", "inner"
+        )
+        .select("file_id", "path", "lang", "content")
+        .repartition(n_part, "file_id")
+    )
+
+    # shingle/token features computed ONCE (reused by both join sides of the
+    # scorer — the reference's shared-spaCy-doc common-subexpression reuse,
+    # linking_system.py:266-274)
+    def _features() -> DataFrame:
+        return reps.select(
+            "file_id",
+            shingles(tokenize("content"), cfg.k_shingle).alias("sh"),
+            tokenize("content").alias("toks"),
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+        )
+
+    features = mgr.stage("features", _features)
+
+    # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping
+    def _blocks() -> DataFrame:
+        ab = alias_blocks(reps)
+        sigs = minhash_from_shingles(
+            features.repartition(n_part, "file_id"), "file_id", "sh", cfg.n_hashes
+        )
+        lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
+        blocks = ab.unionByName(lb)
+        blocks = drop_stopword_blocks(blocks, max_size=cfg.stopword_block_max)
+        return salt_large_blocks(blocks, cap=cfg.salt_cap)
+
+    blocks = mgr.stage("blocks", _blocks)
+
+    # 4. candidate pairs (canonical order, deduped across block types)
+    pairs = mgr.stage("pairs", lambda: pairs_from_blocks(blocks))
+
+    # 5. scoring: JVM-side Jaccard on shingles; Arrow UDFs for the rest
+    def _scores() -> DataFrame:
+        feats = features.repartition(n_part, "file_id")
+        a = feats.select(
+            F.col("file_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("toks").alias("toks_a"),
+            F.col("fname").alias("fname_a"),
+        )
+        b = feats.select(
+            F.col("file_id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("toks").alias("toks_b"),
+            F.col("fname").alias("fname_b"),
+        )
+        cos_udf = make_tfidf_cosine_udf(None)
+        return (
+            pairs.repartition(n_part, "id_a").join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(token_jaccard("sh_a", "sh_b"), 6).alias("shingle_jaccard"),
+                F.round(cos_udf("toks_a", "toks_b"), 6).alias("tf_cosine"),
+                F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
+            )
+        )
+
+    scores = mgr.stage("scores", _scores)
+
+    # 6. decision rule → edges (deterministic thresholds)
+    def _edges() -> DataFrame:
+        is_match = (F.col("shingle_jaccard") >= cfg.jaccard_threshold) | (
+            F.col("tf_cosine") >= cfg.cosine_threshold
+        )
+        return scores.filter(is_match).select("id_a", "id_b")
+
+    edges = mgr.stage("edges", _edges)
+
+    # 7. large-star/small-star connected components over representatives
+    comps = mgr.stage(
+        "components",
+        lambda: components_with_singletons(
+            reps, edges, id_col="file_id", max_iter=cfg.max_cc_iter
+        ),
+    )
+
+    # 8. expand: every member of an exact group inherits its rep's component
+    def _assign() -> DataFrame:
+        members = exact_groups.select(
+            F.col("rep_id"), F.explode("member_ids").alias("file_id")
+        )
+        return members.join(
+            comps.withColumnRenamed("id", "rep_id"), "rep_id"
+        ).select(F.col("file_id").alias("id"), "component")
+
+    assignment = mgr.stage("assignment", _assign)
+
+    out: dict[str, DataFrame] = {
+        "ingested": ingested,
+        "exact_groups": exact_groups,
+        "blocks": blocks,
+        "pairs": pairs,
+        "scores": scores,
+        "edges": edges,
+        "components": comps,
+        "assignment": assignment,
+    }
+
+    # 9. evaluation vs labeled pairs (optional at inference time)
+    if labeled_pairs is not None:
+        out["metrics"] = mgr.stage(
+            "metrics",
+            lambda: evaluate_against_labeled_pairs(
+                assignment, labeled_pairs, id_col="id", cluster_col="component"
+            ),
+            collect_lineage=False,
+        )
+    out["_counters"] = mgr.counters  # type: ignore[assignment]
+    return out

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the entity-resolution workload.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would set
+per-executor: AQE on (runtime skew-join splitting + partition coalescing),
+shuffle partitions sized to cores (not the 200 default), Arrow enabled for the
+pandas-UDF scoring stages, UTC timezone pinned so results are comparable with
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wiki_entity_linker_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``).
+    ``shuffle_partitions`` defaults to the core count so small local runs
+    don't over-parallelize; on a real cluster this is set to
+    ``2-3 × total executor cores`` via spark-submit conf instead.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n_cores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_cores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_cores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
