@@ -1,0 +1,828 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+``(spark_fn, duckdb_oracle_sql)`` pair.
+
+The driver runs each Spark query and its oracle SQL side-by-side on the same
+parquet tables and compares row count + schema + order-insensitive value
+hash, so every computed column is aliased identically on both sides, every
+double is rounded on both sides, and every hash is the portable md5-derived
+``h64`` family (functions/hashing.py). Queries whose semantics are not
+SQL-expressible (greedy overlap suppression, LSH ANN with generated plane
+literals, the full ER pipeline) carry ``None`` and get the driver's
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.functions.hashing import h64_sql, mh_family, mh_mix_sql
+from wiki_entity_linker_spark.functions.similarity import token_jaccard
+from wiki_entity_linker_spark.functions.text import (
+    lang_id,
+    lang_marker_hits,
+    normalize_content,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from wiki_entity_linker_spark.operators.ann import cosine_topk, lsh_topk
+from wiki_entity_linker_spark.operators.argmax import argmax_with_ties, top1_deterministic
+from wiki_entity_linker_spark.operators.blocking import minhash_signatures
+from wiki_entity_linker_spark.operators.closure import (
+    components_with_singletons,
+    transitive_closure,
+)
+from wiki_entity_linker_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from wiki_entity_linker_spark.operators.spans import suppress_overlaps
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (must mirror functions/text.py exactly)
+# ---------------------------------------------------------------------------
+
+def _toks_sql(expr: str) -> str:
+    """DuckDB rendering of text.tokenize(): normalize → \\W+ split → drop ''."""
+    norm = f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+    return f"list_filter(regexp_split_to_array({norm}, '\\W+'), x -> x <> '')"
+
+
+def _shingles_sql(tok_expr: str, k: int) -> str:
+    """DuckDB rendering of text.shingles(): distinct k-token shingles."""
+    joined = f"[array_to_string({tok_expr}[i:i+{k - 1}], ' ') for i in range(1, len({tok_expr}) - {k - 2})]"
+    return (
+        f"CASE WHEN len({tok_expr}) >= {k} THEN list_distinct({joined}) "
+        f"ELSE [array_to_string({tok_expr}, ' ')] END"
+    )
+
+
+_EN = "['the','and','of','to','is','in','that','it','with','for']"
+_DE = "['der','die','das','und','ist','nicht','ein','mit','von','zu']"
+_FR = "['le','la','les','et','est','une','des','dans','pour','que']"
+_ES = "['el','la','los','y','es','una','en','por','para','del']"
+
+
+def _hits(tok: str, markers: str) -> str:
+    return f"len(list_intersect(list_distinct({tok}), {markers}))"
+
+
+# ===========================================================================
+# Aggregations (SURVEY §2.3)
+# ===========================================================================
+
+@q(
+    "agg_link_frequency",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_link_frequency(spark, sf_dir):
+    """A1 link-frequency count (get_link_frequencies.py:34-43 recast)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "argmax_with_ties",
+    """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+                  FROM orders GROUP BY o_custkey, o_orderpriority)
+       SELECT o_custkey, o_orderpriority, n FROM
+         (SELECT *, rank() OVER (PARTITION BY o_custkey ORDER BY n DESC) AS rk FROM c)
+       WHERE rk = 1""",
+)
+def argmax_ties(spark, sf_dir):
+    """A2 most-popular-candidate argmax, ties preserved
+    (create_databases.py:103-122: rank, NOT max_by)."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    return argmax_with_ties(counts, ["o_custkey"], "n")
+
+
+@q(
+    "unigram_counts",
+    f"""SELECT token, count(*) AS cnt
+        FROM (SELECT unnest({_toks_sql('text')}) AS token FROM documents)
+        GROUP BY token""",
+)
+def unigram_counts(spark, sf_dir):
+    """A3 unigram word count (count_unigrams.py:14-30 recast)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q(
+    "collect_set_sorted",
+    """SELECT lang, string_agg(DISTINCT source, ';' ORDER BY source) AS sources
+       FROM documents GROUP BY lang""",
+)
+def collect_set_sorted(spark, sf_dir):
+    """A4/A5/A6 collect-set + ordered group_concat
+    (extract_title_synonyms.py:25-29, Makefile:376-382 recast)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.concat_ws(";", F.sort_array(F.collect_set("source"))).alias("sources"))
+    )
+
+
+@q(
+    "cube_quantity",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def cube_quantity(spark, sf_dir):
+    """A7-adjacent grouping-sets rollup (the reference's per-slice metric
+    families, evaluate.py:117-127)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@q(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark, sf_dir):
+    """A9 distinct (SPARQL SELECT DISTINCT / set() accumulation recast)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "first_writer_wins",
+    """SELECT o_custkey, o_orderkey AS first_orderkey FROM
+         (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+       WHERE rn = 1""",
+)
+def first_writer_wins(spark, sf_dir):
+    """A10 first-writer-wins dedup, made deterministic
+    (create_abstracts_mapping.py:28-38)."""
+    won = top1_deterministic(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        order=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return won.select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+
+
+@q(
+    "benchmark_statistics",
+    f"""SELECT count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               sum(len({_toks_sql('text')})) AS total_tokens,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents""",
+)
+def benchmark_statistics(spark, sf_dir):
+    """A8 benchmark statistics (analyze_benchmark.py:28-40 recast)."""
+    return _t(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.4)
+# ===========================================================================
+
+@q(
+    "dim_join_rollup",
+    """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def dim_join_rollup(spark, sf_dir):
+    """J1 broadcast dimension-join chain (link2id title→redirect→QID recast)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@q(
+    "semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+)
+def semi_join(spark, sf_dir):
+    """J6 membership split — left_semi (split_dataset.py:24-30 recast)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def anti_join(spark, sf_dir):
+    """J6 anti-join (train split = dump minus dev/test ids,
+    split_dataset.py:104-120)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "best_candidate_rank",
+    """SELECT l_partkey, l_suppkey AS best_suppkey FROM
+         (SELECT l_partkey, l_suppkey,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY sum_qty DESC, l_suppkey) AS rn
+          FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_partkey, l_suppkey))
+       WHERE rn = 1""",
+)
+def best_candidate_rank(spark, sf_dir):
+    """J3/W2 candidate argmax with deterministic tie-break
+    (prefix_trie_linker.py:247-260: score desc, id asc)."""
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    best = top1_deterministic(per, ["l_partkey"], score_col="sum_qty", tiebreak_col="l_suppkey")
+    return best.select("l_partkey", F.col("l_suppkey").alias("best_suppkey"))
+
+
+@q(
+    "interval_join_events",
+    """SELECT o_custkey, count(*) AS n_events
+       FROM orders JOIN events
+         ON user_id = o_custkey
+        AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
+       GROUP BY o_custkey""",
+)
+def interval_join_events(spark, sf_dir):
+    """J5 interval join (token-within-span assignment,
+    create_qlever_text_files.py:48-72 recast)."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    return (
+        o.join(
+            e,
+            (e.user_id == o.o_custkey)
+            & (e.ts >= o.o_orderdate)
+            & (e.ts < o.o_orderdate + F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@q(
+    "transitive_closure",
+    """WITH RECURSIVE anc(child, ancestor) AS (
+         SELECT c_custkey, c_custkey // 2 FROM customer
+         WHERE c_custkey BETWEEN 2 AND 255
+         UNION
+         SELECT a.child, e.c_custkey // 2
+         FROM anc a JOIN customer e ON a.ancestor = e.c_custkey
+         WHERE e.c_custkey >= 2
+       )
+       SELECT child, ancestor FROM anc""",
+)
+def closure_query(spark, sf_dir):
+    """J7 transitive closure (P31/P279+ type closure,
+    create_all_types_mapping.py:20-49 recast as iterative self-join)."""
+    edges = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") >= 2) & (F.col("c_custkey") <= 255))
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        )
+    )
+    out = transitive_closure(edges, "child", "parent")
+    return out.select(F.col("child").cast("long"), F.col("parent").cast("long").alias("ancestor"))
+
+
+@q(
+    "connected_components",
+    """SELECT c_custkey AS id, (c_custkey // 100) * 100 AS component
+       FROM customer WHERE c_custkey <= 500""",
+)
+def connected_components_query(spark, sf_dir):
+    """Large-star/small-star connected components on 100-node chain graphs
+    (closed-form oracle). Long chains are the worst case for label
+    propagation — O(log n) alternating-star rounds must converge."""
+    nodes = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(F.col("c_custkey").cast("long").alias("file_id"))
+    )
+    edges = (
+        nodes.filter(F.col("file_id") % 100 != 99)
+        .select(F.col("file_id").alias("id_a"), (F.col("file_id") + 1).alias("id_b"))
+        .join(nodes.select(F.col("file_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return components_with_singletons(nodes, edges, id_col="file_id").select(
+        F.col("id"), F.col("component")
+    )
+
+
+# ===========================================================================
+# Set ops / windows / ordering (SURVEY §2.5, §2.6)
+# ===========================================================================
+
+@q(
+    "union_except",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+)
+def union_except(spark, sf_dir):
+    """T1/T2 alias-source union + REMOVE subtraction
+    (entity_database.py:85-100, wikidata-types/Makefile:134-139)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.union(machinery).distinct().exceptAll(negative.distinct())
+
+
+@q(
+    "topk_orders",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def topk_orders(spark, sf_dir):
+    """W3/W5 ordered sink + top-k (count_unigrams.py:29 sorted output,
+    Makefile:285 LIMIT)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@q(
+    "window_rank_events",
+    """SELECT user_id, event_id, rnk FROM
+         (SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events)
+       WHERE rnk <= 3""",
+)
+def window_rank_events(spark, sf_dir):
+    """W2 per-key top-k ranking with total order."""
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+@q(
+    "sessionize",
+    """SELECT user_id, count(*) AS n_sessions FROM
+         (SELECT user_id,
+                 CASE WHEN lag_ts IS NULL
+                        OR extract(epoch FROM ts - lag_ts) > 1800 THEN 1
+                      ELSE 0 END AS new_session
+          FROM (SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS lag_ts
+                FROM events))
+       WHERE new_session = 1 GROUP BY user_id""",
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session (lag + filter)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").withColumn("lag_ts", F.lag("ts").over(w))
+    # parquet timestamps arrive as TIMESTAMP_NTZ; go through TIMESTAMP to get
+    # an epoch double (session tz is pinned UTC = DuckDB's naive reading)
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    new_s = F.when(
+        F.col("lag_ts").isNull() | ((ep("ts") - ep("lag_ts")) > 1800.0), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .filter(F.col("new_session") == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+@q(
+    "tumbling_window_counts",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def tumbling_window_counts(spark, sf_dir):
+    """Streaming-shaped windowed aggregation, batch parity (the identical
+    plan runs under Structured Streaming in streaming/events.py)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ===========================================================================
+# Scalar functions (SURVEY §2.2, §2.7)
+# ===========================================================================
+
+@q(
+    "regex_extract_numbers",
+    """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+       FROM events""",
+)
+def regex_extract_numbers(spark, sf_dir):
+    """P/2.7 regex extraction (extract_redirects.py:22-23, QID pattern
+    evaluate.py:33-36)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.regexp_extract("props", "([0-9]+)", 1).cast("long").alias("k")
+    )
+
+
+@q(
+    "name_split",
+    """SELECT p_partkey,
+              list_extract(string_split(p_name, ' '), 1) AS given,
+              list_extract(string_split(p_name, ' '), -1) AS family
+       FROM part""",
+)
+def name_split(spark, sf_dir):
+    """2.7 given/family name split (entity_database.py:104-108,
+    prefix_trie_linker.py:168-170)."""
+    toks = F.split(F.col("p_name"), " ")
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("given"),
+        F.element_at(toks, -1).alias("family"),
+    )
+
+
+@q(
+    "prf1_rollup",
+    """SELECT l_returnflag AS slice,
+              sum(CASE WHEN actual AND predicted THEN 1 ELSE 0 END) AS tp,
+              sum(CASE WHEN NOT actual AND predicted THEN 1 ELSE 0 END) AS fp,
+              sum(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END) AS fn
+       FROM (SELECT l_returnflag, l_tax > 0.04 AS actual,
+                    l_discount > 0.05 AS predicted FROM lineitem)
+       GROUP BY l_returnflag""",
+)
+def prf1_rollup(spark, sf_dir):
+    """A7 TP/FP/FN rollup shape (evaluate.py:117-127 metric families)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_tax") > 0.04).alias("actual"),
+        (F.col("l_discount") > 0.05).alias("predicted"),
+    )
+    return li.groupBy(F.col("l_returnflag").alias("slice")).agg(
+        F.sum((F.col("actual") & F.col("predicted")).cast("long")).alias("tp"),
+        F.sum((~F.col("actual") & F.col("predicted")).cast("long")).alias("fp"),
+        F.sum((F.col("actual") & ~F.col("predicted")).cast("long")).alias("fn"),
+    )
+
+
+# ===========================================================================
+# Dedup / text analysis / similarity (training-data-pipeline operators)
+# ===========================================================================
+
+@q(
+    "sha_exact_dedup",
+    """SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+              min(doc_id) AS canonical_id, count(*) AS group_size
+       FROM documents GROUP BY 1""",
+)
+def sha_exact_dedup(spark, sf_dir):
+    """Exact dedup by normalized-content sha256 (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = exact_dedup(d, "doc_id", "text", normalized=True)
+    return hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+
+
+def _minhash_oracle(n_hashes: int, k_shingle: int) -> str:
+    mixes = ",\n              ".join(
+        f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_family(n_hashes))
+    )
+    return f"""
+       WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       sh AS (SELECT doc_id, unnest({_shingles_sql('t', k_shingle)}) AS shingle FROM toks),
+       h AS (SELECT doc_id, {h64_sql('shingle')} AS hs FROM sh)
+       SELECT doc_id, {mixes}
+       FROM h GROUP BY doc_id"""
+
+
+@q("minhash_signature", _minhash_oracle(4, 3))
+def minhash_signature(spark, sf_dir):
+    """MinHash signature parity check: portable shingle→h64→mix→min chain."""
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k_shingle=3, n_hashes=4
+    )
+    return sigs.select(
+        "doc_id", *[F.col("minhash").getItem(i).alias(f"mh{i}") for i in range(4)]
+    )
+
+
+def _minhash_pairs_oracle(n_hashes: int, bands: int, k_shingle: int, thr: float) -> str:
+    rows = n_hashes // bands
+    mixes = ",\n              ".join(
+        f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_family(n_hashes))
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rows + r} = b.mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+       WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       shl AS (SELECT doc_id, {_shingles_sql('t', k_shingle)} AS g FROM toks),
+       sh AS (SELECT doc_id, unnest(g) AS shingle FROM shl),
+       h AS (SELECT doc_id, {h64_sql('shingle')} AS hs FROM sh),
+       sig AS (SELECT doc_id, {mixes} FROM h GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(ga.g, gb.g))::DOUBLE /
+                    (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 6) AS jaccard
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+       JOIN shl ga ON ga.doc_id = a.doc_id
+       JOIN shl gb ON gb.doc_id = b.doc_id
+       WHERE len(list_intersect(ga.g, gb.g))::DOUBLE /
+             (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) >= {thr}"""
+
+
+@q("minhash_neardup", _minhash_pairs_oracle(16, 8, 3, 0.3))
+def minhash_neardup(spark, sf_dir):
+    """MinHash/LSH near-dup: band-blocked candidates + exact-Jaccard verify.
+    The oracle replicates the banding exactly, so LSH's probabilistic recall
+    is identical on both sides."""
+    return minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k_shingle=3,
+        n_hashes=16,
+        bands=8,
+        jaccard_threshold=0.3,
+    )
+
+
+def _simhash_oracle(bits: int) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (hs >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+       WITH toks AS (SELECT doc_id, unnest({_toks_sql('text')}) AS t FROM documents),
+       h AS (SELECT doc_id, {h64_sql('t')} AS hs FROM toks),
+       s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+       SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s"""
+
+
+@q("simhash_fingerprint", _simhash_oracle(16))
+def simhash_fingerprint(spark, sf_dir):
+    """SimHash document fingerprint (portable bit family)."""
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@q(
+    "ngram_jaccard",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       sh AS (SELECT doc_id, {_shingles_sql('t', 3)} AS g FROM toks)
+       SELECT id_a, id_b, jaccard FROM
+         (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.g, b.g))::DOUBLE /
+                       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+       WHERE jaccard >= 0.05""",
+)
+def ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup via inverted-index join (no LSH loss)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.05
+    )
+
+
+@q(
+    "embedding_cosine_topk",
+    """SELECT query_id, vec_id, cos, rnk FROM
+         (SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              v.embedding::DOUBLE[]), 6) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   v.embedding::DOUBLE[]) DESC,
+                            v.vec_id) AS rnk
+          FROM embeddings q, embeddings v
+          WHERE q.vec_id < 20)
+       WHERE rnk <= 5""",
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (ANN exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5, query_id_col="query_id")
+    return out.select("query_id", "vec_id", "cos", F.col("rank").alias("rnk"))
+
+
+@q(
+    "embedding_neardup",
+    """SELECT id_a, id_b, cos FROM
+         (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 6) AS cos
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+       WHERE cos >= 0.4""",
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs."""
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+@q(
+    "lang_id_heuristic",
+    f"""SELECT doc_id,
+              CASE WHEN h_de > 0 AND h_de = best THEN 'de'
+                   WHEN h_en > 0 AND h_en = best THEN 'en'
+                   WHEN h_es > 0 AND h_es = best THEN 'es'
+                   WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+                   ELSE 'und' END AS lang_pred
+       FROM (SELECT doc_id,
+                    {_hits(_toks_sql('text'), _DE)} AS h_de,
+                    {_hits(_toks_sql('text'), _EN)} AS h_en,
+                    {_hits(_toks_sql('text'), _ES)} AS h_es,
+                    {_hits(_toks_sql('text'), _FR)} AS h_fr,
+                    greatest({_hits(_toks_sql('text'), _DE)},
+                             {_hits(_toks_sql('text'), _EN)},
+                             {_hits(_toks_sql('text'), _ES)},
+                             {_hits(_toks_sql('text'), _FR)}) AS best
+             FROM documents)""",
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic: marker-word argmax, ties by language code."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+@q(
+    "text_quality",
+    f"""SELECT doc_id,
+              len({_toks_sql('text')}) AS n_tokens,
+              round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                    / length(text), 6) AS punct_ratio,
+              round(((CASE WHEN len({_toks_sql('text')}) BETWEEN 10 AND 10000
+                           THEN 1.0 ELSE 0.5 END)
+                  * (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                               / length(text) <= 0.2 THEN 1.0 ELSE 0.5 END)
+                  * (CASE WHEN {_hits(_toks_sql('text'), _EN)} >= 3
+                          THEN 1.0 ELSE 0.6 END))::DOUBLE, 6) AS quality
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, punctuation density, stopword presence."""
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace("text", "[^\\w\\s]", ""))).cast("double")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@q(
+    "doc_fingerprint",
+    f"""SELECT doc_id, {h64_sql(_NORM_TEXT_SQL)} AS fp FROM documents""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-sensitive portable document fingerprint (rolling-hash analogue)."""
+    from wiki_entity_linker_spark.functions.text import fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# ===========================================================================
+# Non-SQL-expressible operators → rows-only driver check
+# ===========================================================================
+
+@q("suppress_overlaps_spans", None)
+def suppress_overlaps_spans(spark, sf_dir):
+    """W1 longest-match-first span claiming
+    (hyperlink_reference_linker.py:160-215) — greedy/sequential per doc, not
+    SQL-expressible; covered by unit tests against a Python reference."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    spans_df = e.select(
+        (F.col("user_id") % 50).alias("doc_id"),
+        (F.col("event_id") % 97).alias("start"),
+        (F.col("event_id") % 97 + (F.col("event_id") % 7) + 1).alias("end"),
+    )
+    return suppress_overlaps(spans_df, "doc_id", "start", "end")
+
+
+@q("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH (scale path
+    of embedding_cosine_topk; plane literals impractical to mirror in SQL —
+    recall measured against the exact top-k in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
+
+
+@q("er_cluster_documents", None)
+def er_cluster_documents(spark, sf_dir):
+    """Flagship composite: near-dup clustering of the documents table
+    (MinHash blocking → Jaccard verify → connected components)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(
+        d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3
+    ).select("id_a", "id_b")
+    nodes = d.select(F.col("doc_id").alias("file_id"))
+    return components_with_singletons(nodes, pairs, id_col="file_id")
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,4 @@
+from wiki_entity_linker_spark.streaming.events import (  # noqa: F401
+    incremental_block_stream,
+    windowed_event_counts,
+)
