@@ -1,0 +1,149 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Extra modes (scaling evidence for BASELINE.md, north_rule two-cluster-size
+criterion — no real cluster in this sandbox, so the same job runs at two
+parallelism levels):
+
+* ``--er-run --cpus N [--scale bench]`` — one ER-pipeline run, prints JSON;
+* ``--scaling`` — spawns ``--er-run`` subprocesses at 8 and 32 cores on the
+  identical corpus and prints throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_link_frequency",
+    "argmax_with_ties",
+    "dim_join_rollup",
+    "best_candidate_rank",
+    "interval_join_events",
+    "window_rank_events",
+    "connected_components",
+    "transitive_closure",
+    "sha_exact_dedup",
+    "minhash_neardup",
+    "ngram_jaccard",
+    "simhash_fingerprint",
+    "embedding_cosine_topk",
+    "er_cluster_documents",
+]
+
+
+def _force(df) -> int:
+    """Materialize fully without collecting to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def run_headline(sf_dir: str, cpus: int | None) -> dict:
+    from wiki_entity_linker_spark import queries as q
+    from wiki_entity_linker_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+    qs = q.queries()
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    spark.stop()
+    return out
+
+
+def run_er(scale: str, cpus: int, corpus_root: str) -> dict:
+    from wiki_entity_linker_spark.fixtures.corpus import ensure_corpus
+    from wiki_entity_linker_spark.plans.er_pipeline import run_er_pipeline
+    from wiki_entity_linker_spark.session import get_spark
+
+    d = ensure_corpus(corpus_root, scale)
+    spark = get_spark("bench-er", cores=cpus)
+    sf = spark.read.parquet(f"{d}/source_files.parquet")
+    n_files = sf.count()
+    t0 = time.time()
+    out = run_er_pipeline(spark, sf, None, workdir="", checkpoint=False)
+    n_clusters = out["assignment"].select("component").distinct().count()
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "metric": "er_pipeline_wall",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "cpus": cpus,
+        "files": n_files,
+        "clusters": n_clusters,
+        "files_per_sec": round(n_files / wall, 2),
+        "scale": scale,
+    }
+
+
+def run_scaling(scale: str, corpus_root: str, lo: int = 8, hi: int = 32) -> dict:
+    from wiki_entity_linker_spark.fixtures.corpus import ensure_corpus
+
+    ensure_corpus(corpus_root, scale)  # generate once so both runs share it
+    results = {}
+    for cpus in (lo, hi):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--er-run", "--cpus", str(cpus), "--scale", scale,
+            "--corpus-root", corpus_root,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "er_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "lo_cpus": lo,
+        "hi_cpus": hi,
+        "lo": results[lo],
+        "hi": results[hi],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--er-run", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--corpus-root", default="/tmp/er_bench_corpus")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.scale, args.corpus_root)
+    elif args.er_run:
+        out = run_er(args.scale, args.cpus or 32, args.corpus_root)
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        out = run_headline(sf_dir, int(env_cpus) if env_cpus else None)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Connected components + transitive closure vs Python references
+(closure_edges micro-fixture, FIXTURES.md §6)."""
+
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.operators.closure import (
+    components_with_singletons,
+    connected_components,
+    transitive_closure,
+)
+
+
+def _py_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    import itertools
+
+    nodes = sorted(set(itertools.chain.from_iterable(edges)))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_matches_union_find(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p"),
+             ("m", "n"), ("n", "o"), ("o", "m")]  # chain + pair + loop + cycle
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    want = _py_components([e for e in edges if e[0] != e[1]])
+    assert got == want
+
+
+def test_cc_long_chain(spark):
+    """Chains are label propagation's worst case; alternating stars must
+    converge within the iteration budget."""
+    n = 200
+    edges = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    out = connected_components(df, max_iter=20).collect()
+    assert len(out) == n
+    assert {r["component"] for r in out} == {"n0000"}
+
+
+def test_cc_singletons(spark):
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "file_id string")
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    got = {r["id"]: r["component"] for r in
+           components_with_singletons(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_transitive_closure_cycle_and_chain(spark):
+    """create_all_types_mapping.py:20-49 semantics: cycle-safe, full
+    reachability over a 4-deep chain."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # 4-deep chain
+             ("x", "y"), ("y", "x")]  # cycle
+    df = spark.createDataFrame(edges, "child string, parent string")
+    got = {(r["child"], r["parent"]) for r in transitive_closure(df).collect()}
+    want = {("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+            ("b", "c"), ("b", "d"), ("b", "e"),
+            ("c", "d"), ("c", "e"), ("d", "e"),
+            ("x", "y"), ("y", "x")}
+    assert got == want

@@ -1,0 +1,97 @@
+"""Dedup / similarity-search operators on the fixture corpus and synthetic
+vectors."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.operators.ann import cosine_topk, lsh_topk
+from wiki_entity_linker_spark.operators.blocking import with_file_id
+from wiki_entity_linker_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello  World"), ("b", "hello world"), ("c", "different")],
+        "id string, content string",
+    )
+    out = {r["id"]: (r["canonical_id"], r["group_size"])
+           for r in exact_dedup(df, "id").collect()}
+    assert out["a"] == ("a", 2) and out["b"] == ("a", 2) and out["c"] == ("c", 1)
+
+
+def test_minhash_neardup_finds_planted_dups(spark, tiny_corpus_dir):
+    sf = with_file_id(spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet"))
+    gold = with_file_id(spark.read.parquet(f"{tiny_corpus_dir}/gold_clusters.parquet"))
+    pairs = minhash_neardup_pairs(sf, "file_id", "content", k_shingle=3,
+                                  jaccard_threshold=0.16)
+    ga = gold.select(F.col("file_id").alias("id_a"), F.col("entity_id").alias("ea"))
+    gb = gold.select(F.col("file_id").alias("id_b"), F.col("entity_id").alias("eb"))
+    tagged = pairs.join(ga, "id_a").join(gb, "id_b")
+    n_pairs = tagged.count()
+    n_same = tagged.filter(F.col("ea") == F.col("eb")).count()
+    assert n_pairs > 0
+    # adversarial same-vocab near-misses must not pass the Jaccard verify
+    assert n_same == n_pairs
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    edited = base.replace("lazy", "sleepy", 3)
+    other = "completely unrelated words about spark catalyst optimizers " * 10
+    df = spark.createDataFrame(
+        [("a", base), ("b", edited), ("c", other)], "id string, content string"
+    )
+    fp = {r["id"]: r["simhash"] for r in simhash(df, "id", bits=32).collect()}
+    ham_ab = bin(fp["a"] ^ fp["b"]).count("1")
+    ham_ac = bin(fp["a"] ^ fp["c"]).count("1")
+    assert ham_ab < ham_ac
+    pairs = simhash_neardup_pairs(df, "id", bits=32, max_hamming=ham_ab, bands=ham_ab + 1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("a", "b") in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [("a", "one two three four five six"),
+         ("b", "one two three four five seven"),
+         ("c", "alpha beta gamma delta")],
+        "id string, content string",
+    )
+    pairs = ngram_jaccard_pairs(df, "id", n=2, threshold=0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
+
+
+def _vec_df(spark, n=60, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(dim).astype("float32")  # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(spark):
+    df = _vec_df(spark)
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_pairs(df, threshold=0.99).collect()}
+    assert (0, 1) in got
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    df = _vec_df(spark, n=120)
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(df, queries, k=3)
+    approx = lsh_topk(df, queries, dim=8, k=3, n_planes=4, n_tables=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # every query finds itself, and recall is non-trivial
+    assert all((q, q) in a for q in range(8))
+    assert len(e & a) / len(e) >= 0.5

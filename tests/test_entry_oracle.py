@@ -1,0 +1,36 @@
+"""Driver-contract replica: every queries() entry with an oracle must match
+DuckDB on sf0.001 (the driver itself runs sf0.01)."""
+
+import pytest
+
+import __spark_entry__ as entry
+from oracle_harness import compare_query
+
+QS = entry.queries()
+ORACLES = entry.oracle_sql()
+
+
+def test_contract_shape():
+    assert set(ORACLES) <= set(QS)
+    assert len(QS) >= 30
+    assert len(ORACLES) >= 25
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, sf0001, name):
+    r = compare_query(spark, sf0001, name, QS[name], ORACLES[name])
+    assert r["cols_match"], r
+    assert r["spark_rows"] == r["duck_rows"], r
+    assert r["rows_match"], {k: r[k] for k in ("name", "only_spark", "only_duck") if k in r}
+
+
+@pytest.mark.parametrize("name", sorted(set(QS) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf0001, name):
+    df = QS[name](spark, sf0001)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0

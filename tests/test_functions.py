@@ -1,0 +1,124 @@
+"""Scalar-function parity and semantics (functions/)."""
+
+import random
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.functions.hashing import (
+    h64,
+    h64_seeded,
+    h64_seeded_sql,
+    h64_sql,
+    mh_family,
+    mh_mix,
+    mh_mix_sql,
+)
+from wiki_entity_linker_spark.functions.similarity import (
+    jaro_winkler_py,
+    levenshtein_ratio,
+    token_jaccard,
+)
+from wiki_entity_linker_spark.functions.text import (
+    lang_id,
+    normalize_content,
+    shingles,
+    token_count,
+    tokenize,
+)
+
+STRS = ["abc", "hello world", "", "Q123", "unicode tst", "a" * 50, "x y\tz\n w"]
+
+
+def test_h64_duckdb_parity(spark):
+    df = spark.createDataFrame([(s,) for s in STRS], "s string")
+    rows = df.select(
+        "s", h64("s").alias("h"), h64_seeded("s", 7).alias("h7")
+    ).collect()
+    for r in rows:
+        lit = "'" + r["s"].replace("'", "''") + "'"
+        d = duckdb.sql(f"SELECT {h64_sql(lit)}, {h64_seeded_sql(lit, 7)}").fetchone()
+        assert (r["h"], r["h7"]) == d
+
+
+def test_mh_mix_duckdb_parity(spark):
+    fam = mh_family(4)
+    df = spark.createDataFrame([(s,) for s in STRS if s], "s string")
+    cols = [mh_mix(h64("s"), a, b).alias(f"m{i}") for i, (a, b) in enumerate(fam)]
+    rows = df.select("s", *cols).collect()
+    for r in rows:
+        lit = "'" + r["s"].replace("'", "''") + "'"
+        exprs = ", ".join(mh_mix_sql(h64_sql(lit), a, b) for a, b in fam)
+        d = duckdb.sql(f"SELECT {exprs}").fetchone()
+        assert tuple(r[f"m{i}"] for i in range(4)) == d
+
+
+def test_jaro_winkler_matches_duckdb():
+    rng = random.Random(7)
+    pairs = [("martha", "marhta"), ("dixon", "dicksonx"), ("", ""), ("a", "")]
+    for _ in range(300):
+        a = "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 12)))
+        b = "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 12)))
+        pairs.append((a, b))
+    for a, b in pairs:
+        d = duckdb.sql("SELECT jaro_winkler_similarity(?, ?)", params=[a, b]).fetchone()[0]
+        assert abs(jaro_winkler_py(a, b) - d) < 1e-9, (a, b)
+
+
+def test_levenshtein_ratio(spark):
+    df = spark.createDataFrame([("kitten", "sitting"), ("ab", "ab"), ("", "")], "a string, b string")
+    rows = df.select(F.round(levenshtein_ratio("a", "b"), 6).alias("r")).collect()
+    assert rows[0]["r"] == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert rows[1]["r"] == 1.0
+    assert rows[2]["r"] == 1.0
+
+
+def test_tokenize_and_shingles(spark):
+    df = spark.createDataFrame([("def foo(x):\n  return x+1",), ("a b",)], "s string")
+    out = df.select(
+        tokenize("s").alias("t"),
+        shingles(tokenize("s"), 3).alias("sh"),
+        token_count("s").alias("n"),
+    ).collect()
+    assert out[0]["t"] == ["def", "foo", "x", "return", "x", "1"]
+    assert out[0]["sh"][0] == "def foo x"
+    assert out[0]["n"] == 6
+    # shorter than k -> whole-doc shingle
+    assert out[1]["sh"] == ["a b"]
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([("a b a b a b",)], "s string")
+    out = df.select(shingles(tokenize("s"), 2).alias("sh")).collect()[0]["sh"]
+    assert sorted(out) == ["a b", "b a"]
+
+
+def test_normalize_content(spark):
+    df = spark.createDataFrame([("  A  B\t\nC ",)], "s string")
+    assert df.select(normalize_content("s").alias("x")).collect()[0]["x"] == "a b c"
+
+
+def test_token_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"]), (["x"], ["x"]), ([], [])],
+        "a array<string>, b array<string>",
+    )
+    rows = df.select(F.round(token_jaccard("a", "b"), 6).alias("j")).collect()
+    assert rows[0]["j"] == 0.5
+    assert rows[1]["j"] == 1.0
+    assert rows[2]["j"] == 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house with it for now",),
+            ("der hund ist nicht mit der katze und das haus von zu",),
+            ("zzz qqq www",),
+        ],
+        "s string",
+    )
+    rows = [r["l"] for r in df.select(lang_id("s").alias("l")).collect()]
+    assert rows == ["en", "de", "und"]

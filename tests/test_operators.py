@@ -1,0 +1,75 @@
+"""Operator unit tests against the reference-semantics micro-fixtures
+(FIXTURES.md §6)."""
+
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.operators.argmax import argmax_with_ties, top1_deterministic
+from wiki_entity_linker_spark.operators.blocking import pairs_from_blocks
+from wiki_entity_linker_spark.operators.skew import (
+    block_size_profile,
+    drop_stopword_blocks,
+    salt_large_blocks,
+)
+
+
+def test_argmax_keeps_ties(spark):
+    """A2: create_databases.py:103-122 keeps ALL candidates at max freq."""
+    df = spark.createDataFrame(
+        [("alias1", "E1", 7), ("alias1", "E2", 7), ("alias1", "E3", 3),
+         ("alias2", "E9", 1)],
+        "key string, val string, score long",
+    )
+    out = argmax_with_ties(df, ["key"], "score")
+    got = {(r["key"], r["val"]) for r in out.collect()}
+    assert got == {("alias1", "E1"), ("alias1", "E2"), ("alias2", "E9")}
+
+
+def test_top1_breaks_ties_by_id(spark):
+    """prefix_trie_linker.py:254-255: ties by ascending id, deterministic."""
+    df = spark.createDataFrame(
+        [("m", "Q9", 5), ("m", "Q1", 5), ("m", "Q5", 9)],
+        "key string, qid string, score long",
+    )
+    out = top1_deterministic(df, ["key"], score_col="score", tiebreak_col="qid")
+    assert out.collect()[0]["qid"] == "Q5"
+    df2 = df.filter(F.col("score") == 5)
+    out2 = top1_deterministic(df2, ["key"], score_col="score", tiebreak_col="qid")
+    assert out2.collect()[0]["qid"] == "Q1"
+
+
+def test_pairs_from_blocks_canonical(spark):
+    df = spark.createDataFrame(
+        [("b1", "x"), ("b1", "y"), ("b1", "z"), ("b2", "x"), ("b2", "y")],
+        "block_key string, file_id string",
+    )
+    pairs = pairs_from_blocks(df)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # canonical order, deduped across b1/b2
+    assert got == {("x", "y"), ("x", "z"), ("y", "z")}
+
+
+def test_salt_large_blocks_caps_and_chains(spark):
+    ids = [f"f{i:03d}" for i in range(100)]
+    df = spark.createDataFrame(
+        [("hot", i) for i in ids] + [("cold", "f000"), ("cold", "f001")],
+        "block_key string, file_id string",
+    ).select("file_id", "block_key")
+    salted = salt_large_blocks(df, cap=16)
+    prof = {r["block_key"]: r["block_size"] for r in block_size_profile(salted).collect()}
+    # no salted block exceeds cap+1 (chain member)
+    assert max(prof.values()) <= 17
+    assert prof["cold"] == 2
+    # chaining keeps the block connected: union of pairs forms one component
+    from wiki_entity_linker_spark.operators.closure import connected_components
+
+    pairs = pairs_from_blocks(salted.filter(F.col("block_key") != "cold"))
+    comp = connected_components(pairs)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 100
+
+
+def test_drop_stopword_blocks(spark):
+    rows = [("huge", f"f{i}") for i in range(50)] + [("ok", "a"), ("ok", "b")]
+    df = spark.createDataFrame(rows, "block_key string, file_id string")
+    kept = drop_stopword_blocks(df, max_size=10)
+    assert {r["block_key"] for r in kept.select("block_key").distinct().collect()} == {"ok"}
