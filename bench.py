@@ -99,20 +99,40 @@ def run_er(scale: str, cpus: int, corpus_root: str) -> dict:
     }
 
 
-def run_scaling(scale: str, corpus_root: str, lo: int = 8, hi: int = 32) -> dict:
+def _loadavg() -> float:
+    # host-wide (NOT cgroup-scoped): records how contended the shared box was
+    return os.getloadavg()[0]
+
+
+def run_scaling(
+    scale: str, corpus_root: str, lo: int = 8, hi: int = 32, repeats: int = 2
+) -> dict:
+    """Same job at two parallelism levels (north_rule N vs 4N evidence).
+
+    The sandbox host is shared, so single measurements are contaminated by
+    neighbor load; each config runs ``repeats`` times in alternating order
+    and the BEST run per config (least-contended) is scored. Host loadavg is
+    recorded alongside every run for transparency.
+    """
     from wiki_entity_linker_spark.fixtures.corpus import ensure_corpus
 
-    ensure_corpus(corpus_root, scale)  # generate once so both runs share it
-    results = {}
-    for cpus in (lo, hi):
-        cmd = [
-            sys.executable, os.path.abspath(__file__),
-            "--er-run", "--cpus", str(cpus), "--scale", scale,
-            "--corpus-root", corpus_root,
-        ]
-        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    ensure_corpus(corpus_root, scale)  # generate once so all runs share it
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(repeats):
+        for cpus in (lo, hi):
+            load_before = _loadavg()
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--er-run", "--cpus", str(cpus), "--scale", scale,
+                "--corpus-root", corpus_root,
+            ]
+            proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            r["host_load_before"] = round(load_before, 2)
+            runs[cpus].append(r)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+    best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
+    t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "er_scaling_efficiency",
@@ -120,8 +140,9 @@ def run_scaling(scale: str, corpus_root: str, lo: int = 8, hi: int = 32) -> dict
         "unit": "ratio",
         "lo_cpus": lo,
         "hi_cpus": hi,
-        "lo": results[lo],
-        "hi": results[hi],
+        "lo": best[lo],
+        "hi": best[hi],
+        "all_runs": {str(c): rs for c, rs in runs.items()},
     }
 
 
@@ -132,10 +153,13 @@ def main() -> None:
     ap.add_argument("--scale", default="bench")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--corpus-root", default="/tmp/er_bench_corpus")
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.scale, args.corpus_root)
+        out = run_scaling(args.scale, args.corpus_root, args.lo, args.hi, args.repeats)
     elif args.er_run:
         out = run_er(args.scale, args.cpus or 32, args.corpus_root)
     else:

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the optimizations the engine relies on must
+actually appear in the plan (SURVEY.md §4), not just be hoped for.
+
+* filters/projections reach the parquet scan (PushedFilters / ReadSchema);
+* small dimension joins go broadcast;
+* the pair self-join keys partition the shuffle;
+* hot-path expressions stay inside WholeStageCodegen (no Python in scans).
+"""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushdown(spark, sf001):
+    df = (
+        spark.read.parquet(f"{sf001}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the scan must read only the 3 needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_quantity" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark, sf001):
+    from wiki_entity_linker_spark.queries import dim_join_rollup
+
+    plan = _plan(dim_join_rollup(spark, sf001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_alias_dict_join_is_broadcast(spark, sf001):
+    """J2 candidate generation: the alias-dictionary side must broadcast
+    (the Spark analogue of the reference's COW-shared dicts,
+    link_text.py:91-92)."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    alias_df = docs.select(F.col("source").alias("alias_key")).distinct().limit(100)
+    joined = docs.join(F.broadcast(alias_df), docs.source == F.col("alias_key"))
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_scan_stays_jvm_side(spark, sf001):
+    """Scalar pipeline expressions must stay JVM-side: plain expressions in
+    WholeStageCodegen, higher-order functions interpreted but never a
+    BatchEvalPython (row-at-a-time Python) node in the scan path."""
+    from wiki_entity_linker_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plain = docs.select(F.length(F.regexp_replace("text", "a", "b")).alias("n"))
+    agg_plan = _plan(plain.groupBy().sum("n"))
+    # map-side partial aggregation before the exchange, all JVM-side
+    assert agg_plan.index("HashAggregate") < agg_plan.index("Exchange")
+    assert "EvalPython" not in agg_plan
+    hof = docs.select(token_count("text").alias("n"))
+    assert "EvalPython" not in _plan(hof)
+
+
+def test_minhash_single_shuffle(spark, sf001):
+    """The signature groupBy must be the ONLY exchange, with partial
+    (map-side) aggregation before it."""
+    from wiki_entity_linker_spark.operators.blocking import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text", 3, 8, num_partitions=8)
+    plan = _plan(sigs)
+    # one repartition exchange (explicit spread) + one hash agg exchange
+    assert plan.count("Exchange") <= 2
+    assert "HashAggregate" in plan

@@ -12,6 +12,8 @@ from wiki_entity_linker_spark.streaming.events import (
 
 
 def test_windowed_counts_stream_equals_batch(spark, sf0001, tmp_path):
+    import shutil
+
     events_path = os.path.join(sf0001, "events.parquet")
     batch = spark.read.parquet(events_path)
     want = {
@@ -19,10 +21,11 @@ def test_windowed_counts_stream_equals_batch(spark, sf0001, tmp_path):
         for r in windowed_event_counts(batch).collect()
     }
 
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .parquet(os.path.dirname(events_path) + "/events.parquet")
-    )
+    # streaming file sources require a DIRECTORY of drops
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    shutil.copy(events_path, os.path.join(stream_dir, "part-000.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
     q = (
         windowed_event_counts(stream)
         .writeStream.outputMode("complete")
@@ -40,16 +43,23 @@ def test_windowed_counts_stream_equals_batch(spark, sf0001, tmp_path):
 
 
 def test_incremental_block_stream(spark, tiny_corpus_dir, tmp_path):
-    src = f"{tiny_corpus_dir}/source_files.parquet"
+    import shutil
+
+    src_dir = str(tmp_path / "drops")
+    os.makedirs(src_dir)
+    shutil.copy(
+        f"{tiny_corpus_dir}/source_files.parquet",
+        os.path.join(src_dir, "part-000.parquet"),
+    )
     out_dir = str(tmp_path / "blocks")
     ckpt = str(tmp_path / "ckpt")
-    q = incremental_block_stream(spark, src, out_dir, ckpt)
+    q = incremental_block_stream(spark, src_dir, out_dir, ckpt)
     q.awaitTermination(180)
     blocks = spark.read.parquet(out_dir)
-    n_files = spark.read.parquet(src).count()
+    n_files = spark.read.parquet(src_dir).count()
     assert blocks.select("file_id").distinct().count() == n_files
     assert blocks.count() == n_files * 8  # 8 bands per file
     # restart with no new data -> no duplicate appends (exactly-once)
-    q2 = incremental_block_stream(spark, src, out_dir, ckpt)
+    q2 = incremental_block_stream(spark, src_dir, out_dir, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out_dir).count() == n_files * 8

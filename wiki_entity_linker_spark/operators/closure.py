@@ -75,14 +75,25 @@ def connected_components(
     Nodes appearing only as isolated vertices must be handled by the caller
     (left-join the result and coalesce to the node's own id).
     """
+    def _stats(d: DataFrame) -> tuple:
+        """Cheap set fingerprint: (count, sum of row hashes) in ONE job —
+        an exceptAll-based convergence test costs a full extra shuffle per
+        round and dominated wall time at scale."""
+        r = d.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    prev = _stats(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # converged when the star-edge set is unchanged
-        changed = e2.exceptAll(e).limit(1).count()
+        cur = _stats(e2)
         e = e2
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     # e is now (member, root≈min); close the one remaining level of
     # indirection (star edges may still point at a non-root after the last
     # small-star round), then add roots themselves

@@ -79,7 +79,11 @@ class StageManager:
     ) -> DataFrame:
         """Run (or resume) one stage; chain the params hash downstream."""
         if not self.enabled:
-            return build().localCheckpoint(eager=False)
+            # persist (lazy): computed once on first action, REUSED by every
+            # downstream stage — a lazy localCheckpoint here caused repeated
+            # recomputation of shared stages (features was rebuilt by both
+            # the blocking and scoring stages: 2x shingle+hash cost)
+            return build().persist()
         meta_path = self._meta_path(name)
         data_path = self._data_path(name)
         # every stage's identity folds in upstream identities

@@ -75,9 +75,11 @@ def run_er_pipeline(
     cfg = cfg or ERConfig()
     mgr = StageManager(spark, workdir, asdict(cfg), enabled=checkpoint)
 
-    # 1. ingest — canonical ids + per-row sha256 invariant
+    # 1. ingest — canonical ids + per-row sha256 invariant; spread the raw
+    # scan across cores immediately (upstream may be one parquet split)
+    n_ingest = spark.sparkContext.defaultParallelism * 2
     def _ingest() -> DataFrame:
-        return with_file_id(source_files).select(
+        return with_file_id(source_files.repartition(n_ingest)).select(
             "file_id",
             "repo",
             "path",
@@ -115,6 +117,10 @@ def run_er_pipeline(
     # shingle/token features computed ONCE (reused by both join sides of the
     # scorer — the reference's shared-spaCy-doc common-subexpression reuse,
     # linking_system.py:266-274)
+    # NOTE: token arrays stay JVM-side end to end; an Arrow round-trip to
+    # precompute per-doc TF vectors was measured 8x SLOWER than building the
+    # term counts inside the per-pair scorer (115M tokens through Arrow vs
+    # Python loops over only the surviving candidate pairs).
     def _features() -> DataFrame:
         return reps.select(
             "file_id",
@@ -128,8 +134,10 @@ def run_er_pipeline(
     # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping
     def _blocks() -> DataFrame:
         ab = alias_blocks(reps)
+        # project to (id, shingles) BEFORE the explode — the cached features
+        # also carry token arrays that must not ride through this stage
         sigs = minhash_from_shingles(
-            features.repartition(n_part, "file_id"), "file_id", "sh", cfg.n_hashes
+            features.select("file_id", "sh"), "file_id", "sh", cfg.n_hashes
         )
         lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
         blocks = ab.unionByName(lb)
@@ -143,14 +151,13 @@ def run_er_pipeline(
 
     # 5. scoring: JVM-side Jaccard on shingles; Arrow UDFs for the rest
     def _scores() -> DataFrame:
-        feats = features.repartition(n_part, "file_id")
-        a = feats.select(
+        a = features.select(
             F.col("file_id").alias("id_a"),
             F.col("sh").alias("sh_a"),
             F.col("toks").alias("toks_a"),
             F.col("fname").alias("fname_a"),
         )
-        b = feats.select(
+        b = features.select(
             F.col("file_id").alias("id_b"),
             F.col("sh").alias("sh_b"),
             F.col("toks").alias("toks_b"),
@@ -158,7 +165,7 @@ def run_er_pipeline(
         )
         cos_udf = make_tfidf_cosine_udf(None)
         return (
-            pairs.repartition(n_part, "id_a").join(a, "id_a")
+            pairs.join(a, "id_a")
             .join(b, "id_b")
             .select(
                 "id_a",

@@ -546,6 +546,95 @@ def prf1_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "jaro_winkler_pairs",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+       FROM part a, part b
+       WHERE a.p_partkey < b.p_partkey AND a.p_partkey <= 60 AND b.p_partkey <= 60""",
+)
+def jaro_winkler_pairs(spark, sf_dir):
+    """U2 batched pairwise scoring: the Arrow pandas-UDF Jaro-Winkler is
+    oracle-checked against DuckDB's builtin (trained_entity_linker.py:124-142
+    batching pattern)."""
+    from wiki_entity_linker_spark.functions.similarity import jaro_winkler_udf
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jaro_winkler_udf("na", "nb"), 6).alias("jw"))
+    )
+
+
+@q(
+    "levenshtein_ratio_pairs",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              round(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+                    / greatest(length(a.p_name), length(b.p_name)), 6) AS lev_ratio
+       FROM part a, part b
+       WHERE a.p_partkey < b.p_partkey AND a.p_partkey <= 60 AND b.p_partkey <= 60""",
+)
+def levenshtein_ratio_pairs(spark, sf_dir):
+    """Pairwise Levenshtein ratio — JVM builtin (codegen), no UDF needed."""
+    from wiki_entity_linker_spark.functions.similarity import levenshtein_ratio
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(levenshtein_ratio("na", "nb"), 6).alias("lev_ratio")
+        )
+    )
+
+
+@q(
+    "title_normalize",
+    """SELECT p_partkey,
+              regexp_replace(p_name || ' (ACME)', ' \\([^)]*?\\)', '') AS norm_title,
+              regexp_extract(p_name || ' (ACME)', ' \\(([A-Z]+)\\)', 1) AS acronym,
+              replace(lower(p_brand), '#', ' ') AS decoded
+       FROM part""",
+)
+def title_normalize(spark, sf_dir):
+    """P10/P11 + acronym extraction: bracket-strip title normalization
+    (hyperlink_reference_linker.py:106), ``r" \\(([A-Z]+)\\)"`` acronym
+    pattern (extract_akronyms.py:11), separator decode
+    (create_databases.py:125-132)."""
+    from wiki_entity_linker_spark.functions.text import strip_parenthetical
+
+    titled = F.concat(F.col("p_name"), F.lit(" (ACME)"))
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        strip_parenthetical(titled).alias("norm_title"),
+        F.regexp_extract(titled, " \\(([A-Z]+)\\)", 1).alias("acronym"),
+        F.translate(F.lower("p_brand"), "#", " ").alias("decoded"),
+    )
+
+
+@q(
+    "date_parse_filter",
+    """SELECT strftime(parsed, '%Y-%m') AS month, count(*) AS n FROM
+         (SELECT try_cast(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed
+          FROM orders)
+       WHERE parsed IS NOT NULL AND parsed < DATE '1995-06-01'
+       GROUP BY 1""",
+)
+def date_parse_filter(spark, sf_dir):
+    """P3 is_date try-parse + date filter (prefix_trie_linker.py:137)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("parsed")
+    )
+    return (
+        o.filter(F.col("parsed").isNotNull() & (F.col("parsed") < F.lit("1995-06-01")))
+        .groupBy(F.date_format("parsed", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ===========================================================================
 # Dedup / text analysis / similarity (training-data-pipeline operators)
 # ===========================================================================

@@ -46,9 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split small-but-CPU-heavy parquet inputs across cores (a 50 MB
+        # file at the default 128 MB split is a single task)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -29,6 +29,9 @@ def windowed_event_counts(
     """Watermarked windowed counts/sums per event_type (works on both batch
     and streaming DataFrames with the same plan)."""
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    # watermarks require TIMESTAMP (ltz); parquet often yields TIMESTAMP_NTZ.
+    # The session timezone is pinned UTC so the cast is value-preserving.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(win, "event_type")
