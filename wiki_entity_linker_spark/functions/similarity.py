@@ -193,6 +193,35 @@ def make_tf_cosine_pairs_udf(idf: dict[str, float] | None = None):
     return tf_cosine_pairs_udf
 
 
+def hashed_tokens(tokens: Column | str) -> Column:
+    """Token array -> int64 hash array (JVM xxhash64). Shipping int64 through
+    Arrow is ~3x cheaper than the token strings, and numpy can then vectorize
+    the term-frequency math; hash collisions are negligible for cosine."""
+    return F.transform(_c(tokens), lambda t: F.xxhash64(t))
+
+
+@F.pandas_udf(DoubleType())
+def hashed_tf_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """TF cosine over hashed-token arrays — fully vectorized per row
+    (np.unique counts + sorted-intersection dot product, no Python dicts)."""
+    out = np.empty(len(a), dtype=np.float64)
+    av, bv = a.to_numpy(), b.to_numpy()
+    for i in range(len(av)):
+        xa = np.asarray(av[i] if av[i] is not None else [], dtype=np.int64)
+        xb = np.asarray(bv[i] if bv[i] is not None else [], dtype=np.int64)
+        if xa.size == 0 or xb.size == 0:
+            out[i] = 1.0 if (xa.size == 0 and xb.size == 0) else 0.0
+            continue
+        ua, ca = np.unique(xa, return_counts=True)
+        ub, cb = np.unique(xb, return_counts=True)
+        idx = np.searchsorted(ua, ub)
+        idx[idx == ua.size] = 0
+        mask = ua[idx] == ub
+        dot = float(ca[idx[mask]] @ cb[mask])
+        out[i] = dot / (np.sqrt(ca @ ca) * np.sqrt(cb @ cb))
+    return pd.Series(out)
+
+
 def make_tfidf_cosine_udf(idf: dict[str, float] | None = None):
     """Build an Arrow-batched cosine scorer over two token-array columns.
 

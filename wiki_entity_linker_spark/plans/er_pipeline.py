@@ -34,8 +34,9 @@ from pyspark.sql import functions as F
 
 from wiki_entity_linker_spark.eval.pairwise import evaluate_against_labeled_pairs
 from wiki_entity_linker_spark.functions.similarity import (
+    hashed_tf_cosine_udf,
+    hashed_tokens,
     jaro_winkler_udf,
-    make_tfidf_cosine_udf,
     token_jaccard,
 )
 from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
@@ -105,39 +106,39 @@ def run_er_pipeline(
     # representatives, spread across cores: checkpointed stage tables are
     # often a single small parquet split, and the shingle/minhash expressions
     # are the CPU hot path — never let them run on one partition.
+    #
+    # SIZING NOTE: token/shingle arrays are NEVER persisted, checkpointed or
+    # shuffled — only `content` is. Recomputing shingles from content costs
+    # ~8 s per 100k files on 16 cores; materializing the exploded string
+    # arrays into the columnar cache was measured ~20x slower ((de)serializing
+    # 10^8 small strings), and at 10^12-file scale would multiply the
+    # stage-table footprint for no reuse benefit.
     n_part = spark.sparkContext.defaultParallelism
     reps = (
         ingested.join(
             exact_groups.select(F.col("rep_id").alias("file_id")), "file_id", "inner"
         )
-        .select("file_id", "path", "lang", "content")
-        .repartition(n_part, "file_id")
-    )
-
-    # shingle/token features computed ONCE (reused by both join sides of the
-    # scorer — the reference's shared-spaCy-doc common-subexpression reuse,
-    # linking_system.py:266-274)
-    # NOTE: token arrays stay JVM-side end to end; an Arrow round-trip to
-    # precompute per-doc TF vectors was measured 8x SLOWER than building the
-    # term counts inside the per-pair scorer (115M tokens through Arrow vs
-    # Python loops over only the surviving candidate pairs).
-    def _features() -> DataFrame:
-        return reps.select(
+        .select(
             "file_id",
-            shingles(tokenize("content"), cfg.k_shingle).alias("sh"),
-            tokenize("content").alias("toks"),
+            "path",
+            "lang",
+            "content",
             F.element_at(F.split("path", "/"), -1).alias("fname"),
         )
-
-    features = mgr.stage("features", _features)
+        .repartition(n_part, "file_id")
+        .persist()
+    )
 
     # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping
     def _blocks() -> DataFrame:
         ab = alias_blocks(reps)
-        # project to (id, shingles) BEFORE the explode — the cached features
-        # also carry token arrays that must not ride through this stage
         sigs = minhash_from_shingles(
-            features.select("file_id", "sh"), "file_id", "sh", cfg.n_hashes
+            reps.select(
+                "file_id", shingles(tokenize("content"), cfg.k_shingle).alias("sh")
+            ),
+            "file_id",
+            "sh",
+            cfg.n_hashes,
         )
         lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
         blocks = ab.unionByName(lb)
@@ -149,29 +150,37 @@ def run_er_pipeline(
     # 4. candidate pairs (canonical order, deduped across block types)
     pairs = mgr.stage("pairs", lambda: pairs_from_blocks(blocks))
 
-    # 5. scoring: JVM-side Jaccard on shingles; Arrow UDFs for the rest
+    # 5. scoring: JVM-side Jaccard on shingles; Arrow UDFs for the rest.
+    # Join CONTENT to the pairs and re-derive tokens/shingles after the join:
+    # shuffling raw content is far cheaper than shuffling its token arrays,
+    # and candidate pairs are a small fraction of the corpus.
     def _scores() -> DataFrame:
-        a = features.select(
+        a = reps.select(
             F.col("file_id").alias("id_a"),
-            F.col("sh").alias("sh_a"),
-            F.col("toks").alias("toks_a"),
+            F.col("content").alias("content_a"),
             F.col("fname").alias("fname_a"),
         )
-        b = features.select(
+        b = reps.select(
             F.col("file_id").alias("id_b"),
-            F.col("sh").alias("sh_b"),
-            F.col("toks").alias("toks_b"),
+            F.col("content").alias("content_b"),
             F.col("fname").alias("fname_b"),
         )
-        cos_udf = make_tfidf_cosine_udf(None)
+        sh_a = shingles(tokenize("content_a"), cfg.k_shingle)
+        sh_b = shingles(tokenize("content_b"), cfg.k_shingle)
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                F.round(token_jaccard("sh_a", "sh_b"), 6).alias("shingle_jaccard"),
-                F.round(cos_udf("toks_a", "toks_b"), 6).alias("tf_cosine"),
+                F.round(token_jaccard(sh_a, sh_b), 6).alias("shingle_jaccard"),
+                F.round(
+                    hashed_tf_cosine_udf(
+                        hashed_tokens(tokenize("content_a")),
+                        hashed_tokens(tokenize("content_b")),
+                    ),
+                    6,
+                ).alias("tf_cosine"),
                 F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
             )
         )
