@@ -102,3 +102,18 @@ def test_vendored_skew_collapses_to_one_representative(pipeline_out):
         vendored.select(F.col("file_id").alias("id")), "id", "left_semi"
     )
     assert comp.select("component").distinct().count() == 1
+
+
+def test_alias_dict_blocking(spark, tiny_corpus_dir, tmp_path):
+    """External alias-dictionary blocking (J2 recast): co-blocks files that
+    share a dictionary alias even when LSH alone would, and F1 gate holds
+    with the extra blocks (precision survives the ambiguous aliases)."""
+    sf = spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet")
+    lp = spark.read.parquet(f"{tiny_corpus_dir}/labeled_pairs.parquet")
+    ad = spark.read.parquet(f"{tiny_corpus_dir}/alias_dict.parquet")
+    out = run_er_pipeline(
+        spark, sf, lp, str(tmp_path / "wd"), checkpoint=False, alias_dict=ad
+    )
+    m = {r["slice"]: r.asDict() for r in out["metrics"].collect()}
+    assert m["all"]["f1"] >= 0.99, m
+    assert out["blocks"].filter(F.col("block_key").startswith("dict:")).count() > 0

@@ -55,6 +55,9 @@ SCALES = {
     "tiny": dict(n_entities=40, n_repos=12, vendored_repo_frac=0.25),
     "small": dict(n_entities=1000, n_repos=50, vendored_repo_frac=0.10),
     "bench": dict(n_entities=40000, n_repos=400, vendored_repo_frac=0.10),
+    # 2x bench: enough parallel work that the ~20 s fixed overhead (JIT
+    # warmup, job scheduling, CC rounds) stops dominating scaling runs
+    "benchxl": dict(n_entities=80000, n_repos=800, vendored_repo_frac=0.10),
 }
 
 

@@ -124,6 +124,29 @@ def alias_blocks(
     return stems.unionByName(defs)
 
 
+def alias_dict_blocks(
+    df: DataFrame,
+    alias_dict: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, block_key) from an external alias dictionary — the direct recast
+    of J2 candidate generation: file tokens broadcast-joined against the
+    ``(alias, entity_id, freq)`` table; every file sharing an alias's entity
+    lands in that entity's block. Ambiguous aliases (one alias, several
+    entities) put the file into ALL candidate blocks, mirroring
+    ``get_candidates`` returning a set (entity_database.py:85-100).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(content_col))).alias("tok")
+    )
+    dic = alias_dict.select(
+        F.lower(F.col("alias")).alias("tok"),
+        F.concat(F.lit("dict:"), F.col("entity_id")).alias("block_key"),
+    ).dropDuplicates(["tok", "block_key"])
+    return toks.join(F.broadcast(dic), "tok").select(id_col, "block_key")
+
+
 def pairs_from_blocks(
     block_df: DataFrame, id_col: str = "file_id", block_col: str = "block_key"
 ) -> DataFrame:

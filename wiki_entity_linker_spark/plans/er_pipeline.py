@@ -42,6 +42,7 @@ from wiki_entity_linker_spark.functions.similarity import (
 from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
 from wiki_entity_linker_spark.operators.blocking import (
     alias_blocks,
+    alias_dict_blocks,
     lsh_band_blocks,
     minhash_from_shingles,
     pairs_from_blocks,
@@ -72,6 +73,7 @@ def run_er_pipeline(
     workdir: str,
     cfg: ERConfig | None = None,
     checkpoint: bool = True,
+    alias_dict: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     cfg = cfg or ERConfig()
     mgr = StageManager(spark, workdir, asdict(cfg), enabled=checkpoint)
@@ -142,6 +144,8 @@ def run_er_pipeline(
         )
         lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
         blocks = ab.unionByName(lb)
+        if alias_dict is not None:
+            blocks = blocks.unionByName(alias_dict_blocks(reps, alias_dict))
         blocks = drop_stopword_blocks(blocks, max_size=cfg.stopword_block_max)
         return salt_large_blocks(blocks, cap=cfg.salt_cap)
 

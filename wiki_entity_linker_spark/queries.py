@@ -547,6 +547,33 @@ def prf1_rollup(spark, sf_dir):
 
 
 @q(
+    "deterministic_split",
+    f"""SELECT split, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM
+         (SELECT doc_id,
+                 CASE WHEN {h64_sql("CAST(doc_id AS VARCHAR)")} % 10 < 8
+                      THEN 'train' ELSE 'heldout' END AS split
+          FROM documents)
+       GROUP BY split""",
+)
+def deterministic_split(spark, sf_dir):
+    """W4/J6 reproducible dataset split (split_dataset.py:18,55-56 recast):
+    the reference shuffles with ``random.seed(42)``; the distributed version
+    splits by portable content-independent hash so membership is a pure
+    function of the key on every engine and cluster size."""
+    from wiki_entity_linker_spark.functions.hashing import h64
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(h64(F.col("doc_id").cast("string")) % 10 < 8, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    return d.groupBy("split").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+@q(
     "jaro_winkler_pairs",
     """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
               round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
