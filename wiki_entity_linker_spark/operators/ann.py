@@ -37,13 +37,19 @@ def cosine_topk(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("vv"))
+    # Rank by the RAW cosine (rounding only in the output projection) so
+    # top-k membership matches an oracle that orders by the unrounded value;
+    # ranking the rounded score can flip neighbors within 1e-6 across engines.
     scored = v.crossJoin(F.broadcast(q)).select(
-        "query_id", id_col, F.round(cosine("qv", "vv"), 6).alias("cos")
+        "query_id", id_col, cosine("qv", "vv").alias("__cos_raw")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("__cos_raw", 6).alias("cos"), "rank")
     )
 
 
@@ -106,7 +112,13 @@ def lsh_topk(
     scored = (
         cand.join(v, id_col)
         .join(F.broadcast(q), "query_id")
-        .select("query_id", id_col, F.round(cosine("qv", "vv"), 6).alias("cos"))
+        .select("query_id", id_col, cosine("qv", "vv").alias("__cos_raw"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("__cos_raw", 6).alias("cos"), "rank")
+    )

@@ -87,13 +87,23 @@ def connected_components(
 
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     prev = _stats(e)
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _stats(e2)
         e = e2
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # A partially-converged edge set still contains conflicting
+        # (id, component) rows; the dropDuplicates below would pick one
+        # arbitrarily and return silently-wrong labels. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed ≈ log2(graph diameter))."
+        )
     # e is now (member, root≈min); close the one remaining level of
     # indirection (star edges may still point at a non-root after the last
     # small-star round), then add roots themselves
@@ -154,9 +164,12 @@ def transitive_closure(
             .filter(F.col("a") != F.col("b"))
         )
         nxt = closure.unionByName(doubled).dropDuplicates(["a", "b"]).persist()
-        n = nxt.count()
+        n = nxt.count()  # materializes nxt, so the old closure can be dropped
+        if closure is not base:
+            closure.unpersist()  # bound executor storage: one live round only
         closure = nxt
         if n == prev:
             break
         prev = n
+    base.unpersist()
     return closure.select(F.col("a").alias(src), F.col("b").alias(dst))

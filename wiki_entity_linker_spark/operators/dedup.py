@@ -142,19 +142,35 @@ def ngram_jaccard_pairs(
     content_col: str = "content",
     n: int = 3,
     threshold: float = 0.4,
+    max_doc_freq: int | None = 10000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup via inverted-index join (no LSH loss).
 
     Distributed form: explode distinct n-grams, self-join on the n-gram
     (inverted index), count shared grams per pair, then Jaccard =
-    |∩| / (|A|+|B|-|∩|). Quadratic only within posting lists — callers cap
-    hot n-grams upstream at scale (skew.drop_stopword_blocks).
+    |∩| / (|A|+|B|-|∩|). Quadratic only within posting lists, so hot
+    n-grams are capped INSIDE the operator: any gram appearing in more than
+    ``max_doc_freq`` documents is dropped from both the index and the
+    per-document sizes (Jaccard is then over the kept grams). Without the
+    cap one stop-gram shared by 10⁶ docs produces 10¹² join rows; with it
+    the posting-list join is bounded at ``max_doc_freq²`` rows per gram.
+    Pass ``max_doc_freq=None`` to disable (exact textbook Jaccard).
     """
     grams = df.select(
         F.col(id_col).alias("id"), shingles(tokenize(content_col), n).alias("g")
     )
-    sizes = grams.select("id", F.size("g").alias("n_grams"))
     inv = grams.select("id", F.explode("g").alias("gram"))
+    if max_doc_freq is not None:
+        # the HOT list is tiny by construction → broadcast anti-join
+        hot = (
+            inv.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+        inv = inv.join(F.broadcast(hot), "gram", "left_anti")
+    # sizes from KEPT grams (arrays are distinct, so count(*) = |set|)
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_grams"))
     shared = (
         inv.alias("x")
         .join(inv.alias("y"), "gram")

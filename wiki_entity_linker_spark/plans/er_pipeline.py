@@ -53,6 +53,22 @@ from wiki_entity_linker_spark.operators.skew import drop_stopword_blocks, salt_l
 from wiki_entity_linker_spark.plans.checkpoint import StageManager
 
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Cheap identity for a source DataFrame, folded into the resume key.
+
+    Parquet/Iceberg-backed sources are identified by their file listing +
+    schema (metadata-only — no scan); in-memory sources (test fixtures) fall
+    back to schema + row count.
+    """
+    from wiki_entity_linker_spark.plans.checkpoint import params_hash
+
+    files = sorted(df.inputFiles())
+    ident: dict = {"schema": df.schema.json(), "files": files}
+    if not files:
+        ident["rows"] = df.count()
+    return params_hash(ident)
+
+
 @dataclass
 class ERConfig:
     k_shingle: int = 3
@@ -76,7 +92,19 @@ def run_er_pipeline(
     alias_dict: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     cfg = cfg or ERConfig()
-    mgr = StageManager(spark, workdir, asdict(cfg), enabled=checkpoint)
+    # The resume key must identify the INPUT, not just the config: the same
+    # workdir re-run against different source files (or with alias_dict
+    # toggled) must invalidate, not silently resume stale stage tables.
+    mgr = StageManager(
+        spark,
+        workdir,
+        asdict(cfg)
+        | {
+            "input": _input_fingerprint(source_files),
+            "alias_dict": None if alias_dict is None else _input_fingerprint(alias_dict),
+        },
+        enabled=checkpoint,
+    )
 
     # 1. ingest — canonical ids + per-row sha256 invariant; spread the raw
     # scan across cores immediately (upstream may be one parquet split)
@@ -95,12 +123,16 @@ def run_er_pipeline(
 
     ingested = mgr.stage("ingest", _ingest)
 
-    # 2. exact-duplicate groups; representatives carry all downstream cost
+    # 2. exact-duplicate groups; representatives carry all downstream cost.
+    # Deliberately NO collect_list of member ids: a pathological duplicate
+    # group (empty files, LICENSE boilerplate — guaranteed at 10^12 files)
+    # would put millions of ids into one row's array and OOM the executor.
+    # Membership stays flat in `ingested(file_id, content_hash)` and is
+    # recovered by equi-join in the assignment stage.
     def _exact() -> DataFrame:
         return ingested.groupBy("content_hash").agg(
             F.min("file_id").alias("rep_id"),
             F.count("*").alias("group_size"),
-            F.collect_list("file_id").alias("member_ids"),
         )
 
     exact_groups = mgr.stage("exact_groups", _exact)
@@ -208,14 +240,17 @@ def run_er_pipeline(
         ),
     )
 
-    # 8. expand: every member of an exact group inherits its rep's component
+    # 8. expand: every member of an exact group inherits its rep's component.
+    # Three flat equi-joins — (file_id, content_hash) ⋈ (content_hash, rep_id)
+    # ⋈ (rep_id, component) — so no row ever carries a group-sized array.
     def _assign() -> DataFrame:
-        members = exact_groups.select(
-            F.col("rep_id"), F.explode("member_ids").alias("file_id")
+        members = ingested.select("file_id", "content_hash")
+        rep_of = exact_groups.select("content_hash", "rep_id")
+        return (
+            members.join(rep_of, "content_hash")
+            .join(comps.withColumnRenamed("id", "rep_id"), "rep_id")
+            .select(F.col("file_id").alias("id"), "component")
         )
-        return members.join(
-            comps.withColumnRenamed("id", "rep_id"), "rep_id"
-        ).select(F.col("file_id").alias("id"), "component")
 
     assignment = mgr.stage("assignment", _assign)
 

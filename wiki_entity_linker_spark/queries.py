@@ -214,7 +214,7 @@ def first_writer_wins(spark, sf_dir):
     "benchmark_statistics",
     f"""SELECT count(*) AS n_docs,
                count(DISTINCT source) AS n_sources,
-               sum(len({_toks_sql('text')})) AS total_tokens,
+               CAST(sum(len({_toks_sql('text')})) AS BIGINT) AS total_tokens,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents""",
 )
@@ -268,13 +268,16 @@ def semi_join(spark, sf_dir):
 @q(
     "anti_join",
     """SELECT c_custkey, c_name FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
 )
 def anti_join(spark, sf_dir):
     """J6 anti-join (train split = dump minus dev/test ids,
-    split_dataset.py:104-120)."""
+    split_dataset.py:104-120).  Filtered to 'F' orders so the result is
+    non-empty on the testdata (71 rows at sf0.01) — an all-orders anti-join
+    matched nothing and the oracle check was vacuous."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -302,27 +305,36 @@ def best_candidate_rank(spark, sf_dir):
 
 @q(
     "interval_join_events",
-    """SELECT o_custkey, count(*) AS n_events
-       FROM orders JOIN events
-         ON user_id = o_custkey
-        AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
+    """SELECT o_custkey, count(*) AS n_events FROM
+         (SELECT user_id % 10 AS doc, event_id % 5000 AS pos FROM events) p
+       JOIN
+         (SELECT o_custkey, o_custkey % 10 AS doc, o_orderkey % 5000 AS s
+          FROM orders) iv
+         ON p.doc = iv.doc AND p.pos >= iv.s AND p.pos < iv.s + 3
        GROUP BY o_custkey""",
 )
 def interval_join_events(spark, sf_dir):
     """J5 interval join (token-within-span assignment,
-    create_qlever_text_files.py:48-72 recast)."""
-    o = _t(spark, sf_dir, "orders")
-    e = _t(spark, sf_dir, "events")
-    return (
-        o.join(
-            e,
-            (e.user_id == o.o_custkey)
-            & (e.ts >= o.o_orderdate)
-            & (e.ts < o.o_orderdate + F.expr("INTERVAL 7 DAY")),
-        )
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_events"))
+    create_qlever_text_files.py:48-72 recast), routed through
+    ``bucketed_interval_join`` so the oracle checks the *scale path* — the
+    bucket-explode equi-join, not a raw range-join nested loop.  Points and
+    intervals are derived from events/orders integer keys so both sides
+    overlap and the check is non-vacuous (1493 groups at sf0.01)."""
+    from wiki_entity_linker_spark.operators.spans import bucketed_interval_join
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("doc"), (F.col("event_id") % 5000).alias("pos")
     )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_custkey") % 10).alias("doc"),
+        (F.col("o_orderkey") % 5000).alias("start"),
+        (F.col("o_orderkey") % 5000 + 3).alias("end"),
+    )
+    joined = bucketed_interval_join(
+        e, o, doc_col="doc", pos_col="pos", start_col="start", end_col="end", bucket=256
+    )
+    return joined.groupBy("o_custkey").agg(F.count("*").alias("n_events"))
 
 
 @q(
@@ -525,9 +537,9 @@ def name_split(spark, sf_dir):
 @q(
     "prf1_rollup",
     """SELECT l_returnflag AS slice,
-              sum(CASE WHEN actual AND predicted THEN 1 ELSE 0 END) AS tp,
-              sum(CASE WHEN NOT actual AND predicted THEN 1 ELSE 0 END) AS fp,
-              sum(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END) AS fn
+              CAST(sum(CASE WHEN actual AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN NOT actual AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT) AS fn
        FROM (SELECT l_returnflag, l_tax > 0.04 AS actual,
                     l_discount > 0.05 AS predicted FROM lineitem)
        GROUP BY l_returnflag""",
@@ -769,18 +781,36 @@ def simhash_fingerprint(spark, sf_dir):
 @q(
     "ngram_jaccard",
     f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
-       sh AS (SELECT doc_id, {_shingles_sql('t', 3)} AS g FROM toks)
+       sh AS (SELECT doc_id, {_shingles_sql('t', 3)} AS g FROM toks),
+       inv AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       hot AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) > 100),
+       kept AS (SELECT doc_id, gram FROM inv
+                WHERE gram NOT IN (SELECT gram FROM hot)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM kept a JOIN kept b
+                    ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
        SELECT id_a, id_b, jaccard FROM
-         (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(len(list_intersect(a.g, b.g))::DOUBLE /
-                       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
-          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         (SELECT id_a, id_b,
+                 round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)
        WHERE jaccard >= 0.05""",
 )
 def ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup via inverted-index join (no LSH loss)."""
+    """Exact n-gram Jaccard near-dup via inverted-index join (no LSH loss),
+    with the hot-gram document-frequency cap (max_doc_freq=100) applied
+    INSIDE the operator — the oracle replicates the cap exactly, so the
+    scale guard itself is what gets correctness-checked."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.05
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.05,
+        max_doc_freq=100,
     )
 
 
