@@ -1,0 +1,128 @@
+"""End-to-end linking demo on the REAL reference benchmark.
+
+Integration target (VERDICT r1 #7): run the declarative linking plan
+(plans/linking.py) over ``benchmarks/wiki-fair-v2.benchmark.jsonl`` with an
+alias dictionary derived from the benchmark's OWN hyperlinks — the
+hyperlink-frequency prior of create_databases.py:103-122 built from the only
+link data shipped with the reference — and compare micro P/R/F1 against the
+committed golden results
+(evaluation-results/baseline/baseline.wiki-fair-v2.eval_results.json:
+P=0.6045 R=0.3494 F1=0.4428 on the "all" slice).
+
+Denominator note: the reference's evaluator applies per-case logic (child
+alternatives, lowercased-non-named exclusions, unknown handling) that yields
+GT=2012; this demo evaluates span-exactly against root, non-coref,
+non-optional gold labels (GT=2514). The numbers are therefore *comparable in
+magnitude*, not identical by construction — the point is that the whole
+distributed path (real JSONL parse → n-gram scan → broadcast alias join →
+popularity argmax → overlap suppression → eval rollup) produces a sane
+linker on real data.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.operators.argmax import top1_deterministic
+from wiki_entity_linker_spark.plans.linking import evaluate_linking, link_articles
+from wiki_entity_linker_spark.sources.tables import read_articles_jsonl
+
+BENCHMARK = "/root/reference/benchmarks/wiki-fair-v2.benchmark.jsonl"
+GOLDEN = (
+    "/root/reference/evaluation-results/baseline/"
+    "baseline.wiki-fair-v2.eval_results.json"
+)
+
+
+def hyperlink_alias_dict(articles: DataFrame) -> DataFrame:
+    """(alias, entity_id, freq) from the benchmark's own link structure.
+
+    * anchor text → target title, mapped to a QID through the benchmark's
+      (label name → entity_id) table — the link-anchor prior
+      (create_databases.py:103-122 recast);
+    * every label name is also an alias of its own entity (title aliases).
+    """
+    # name → QID (deterministic argmax over label occurrences)
+    names = (
+        articles.select(F.explode("labels").alias("l"))
+        .filter(F.col("l.entity_id").rlike("^Q[0-9]+$"))
+        .groupBy(F.col("l.name").alias("name"), F.col("l.entity_id").alias("entity_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    name2qid = top1_deterministic(
+        names, ["name"], score_col="n", tiebreak_col="entity_id"
+    ).select("name", "entity_id")
+
+    anchors = (
+        articles.select("text", F.explode("hyperlinks").alias("h"))
+        .select(
+            F.expr(
+                "substring(text, element_at(h.span, 1) + 1,"
+                "          element_at(h.span, 2) - element_at(h.span, 1))"
+            ).alias("alias"),
+            F.col("h.target").alias("name"),
+        )
+        .join(name2qid, "name")
+        .select("alias", "entity_id")
+    )
+    titles = (
+        articles.select(F.explode("labels").alias("l"))
+        .filter(F.col("l.entity_id").rlike("^Q[0-9]+$"))
+        .select(F.col("l.name").alias("alias"), F.col("l.entity_id").alias("entity_id"))
+    )
+    return (
+        anchors.unionByName(titles)
+        .groupBy("alias", "entity_id")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def gold_mentions(articles: DataFrame) -> DataFrame:
+    """Root, non-coref, non-optional gold labels as flat span rows."""
+    return (
+        articles.select(F.col("id").alias("article_id"), F.explode("labels").alias("l"))
+        .filter(
+            F.col("l.parent").isNull()
+            & ~F.coalesce(F.col("l.coref"), F.lit(False))
+            & ~F.coalesce(F.col("l.optional"), F.lit(False))
+        )
+        .select(
+            "article_id",
+            F.element_at("l.span", 1).alias("start"),
+            F.element_at("l.span", 2).alias("end"),
+            F.col("l.entity_id").alias("entity_id"),
+        )
+    )
+
+
+def run_benchmark_demo(
+    spark: SparkSession,
+    benchmark_path: str = BENCHMARK,
+    max_ngram: int = 5,
+) -> dict:
+    """→ eval_results-shaped dict with ours + the reference's golden row."""
+    articles = read_articles_jsonl(spark, benchmark_path).cache()
+    alias_dict = hyperlink_alias_dict(articles)
+    preds = link_articles(articles, alias_dict, max_ngram=max_ngram)
+    gold = gold_mentions(articles)
+    row = evaluate_linking(preds, gold).first()
+    ours = {
+        "true_positives": row["tp"],
+        "false_positives": row["fp"],
+        "false_negatives": row["fn"],
+        "ground_truth": row["tp"] + row["fn"],
+        "precision": row["precision"],
+        "recall": row["recall"],
+        "f1": row["f1"],
+    }
+    out = {"spark_hyperlink_prior": {"mention_types": {"all": ours}}}
+    try:
+        golden = json.load(open(GOLDEN))["IGNORED"]["mention_types"]["all"]
+        out["reference_baseline"] = {"mention_types": {"all": golden}}
+    except OSError:
+        pass
+    articles.unpersist()
+    return out
