@@ -54,6 +54,9 @@ def run_headline(sf_dir: str, cpus: int | None) -> dict:
 
     spark = get_spark("bench", cores=cpus)
     qs = q.queries()
+    # warmup: session/JIT/codegen spin-up must not be billed to the first
+    # query in the loop (it inflated agg_link_frequency by ~4s in r1)
+    _force(qs["agg_link_frequency"](spark, sf_dir))
     times: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:

@@ -80,6 +80,61 @@ def strip_parenthetical(col: Column | str) -> Column:
     return F.regexp_replace(_c(col), " \\([^)]*?\\)", "")
 
 
+def singular_variants(col: Column | str) -> Column:
+    """Lookup candidates for a snippet: itself plus its singular form when it
+    ends in ``s`` (prefix_trie_linker.py:235-246 ``is_snippet_variant_in_trie``
+    recast — explode this array into the alias join instead of probing a
+    trie twice)."""
+    c = _c(col)
+    return F.array_distinct(
+        F.when(
+            c.endswith("s"),
+            F.array(c, F.substring(c, 1, F.length(c) - 1)),
+        ).otherwise(F.array(c))
+    )
+
+
+def middle_name_variants(col: Column | str) -> Column:
+    """Name variants for names with middle parts
+    (hyperlink_reference_linker.py:65-89): "Habern William Archibald Freeman"
+    → ["Habern Freeman", "Habern W A Freeman", "Habern W.A. Freeman",
+    "Habern W. A. Freeman"]. Empty array unless the name has >2 parts all
+    starting uppercase (the reference's Karl-I-of-Austria guard). The
+    caller applies the person-not-organization type filter as a join, like
+    the reference does with its entity type whitelist.
+
+    Pure higher-order functions — sorted + deduped so the output is a
+    deterministic set.
+    """
+    c = _c(col)
+    parts = F.split(c, " ")
+    mids = F.filter(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 2, F.lit(0))),
+        lambda p: p != "",
+    )
+    nonempty = F.filter(parts, lambda p: p != "")
+    first_char = lambda p: F.substring(p, 1, 1)  # noqa: E731
+    is_upper = lambda p: (  # true-case check, unicode-safe via JVM upper/lower
+        (first_char(p) == F.upper(first_char(p)))
+        & (first_char(p) != F.lower(first_char(p)))
+    )  # noqa: E731
+    cond = (F.size(parts) > 2) & F.forall(nonempty, is_upper)
+    first = F.element_at(parts, 1)
+    last = F.element_at(parts, -1)
+    initials = F.transform(mids, first_char)
+    dotted = F.transform(mids, lambda p: F.concat(first_char(p), F.lit(".")))
+    join_fl = lambda mid: F.concat_ws(" ", first, mid, last)  # noqa: E731
+    variants = F.array(
+        F.concat_ws(" ", first, last),
+        join_fl(F.array_join(initials, " ")),
+        join_fl(F.array_join(dotted, "")),
+        join_fl(F.array_join(dotted, " ")),
+    )
+    return F.when(cond, F.array_sort(F.array_distinct(variants))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def acronym_of(tokens: Column | str) -> Column:
     """Upper-cased initials of a token array — extract_akronyms.py:24-35
     recast (the reference extracts ``r" \\(([A-Z]+)\\)"`` patterns; the graft

@@ -3,10 +3,10 @@
 The reference's resumability is Make's skip-if-output-exists
 (Makefile:178-198) plus ``--start_line`` resume knobs
 (create_entity_word_vectors.py:31). The graft requires the same contract as
-first-class dataflow: every pipeline stage writes a parquet table (the
-Iceberg-shaped fallback — swap ``_write``/``_read`` for
-``writeTo(...).createOrReplace()`` when the iceberg-spark-runtime jar is on
-the classpath) together with a manifest recording ``params_hash``, total and
+first-class dataflow: every pipeline stage writes a stage table through a
+swappable store — :class:`ParquetStore` (default) or :class:`IcebergStore`
+(``writeTo(...).createOrReplace()`` when an Iceberg catalog is configured) —
+together with a manifest recording ``params_hash``, total and
 per-partition row counts. Re-running with identical params skips straight to
 the stored table; changing any upstream param invalidates every downstream
 stage (hash chaining).
@@ -39,6 +39,58 @@ def partition_lineage(df: DataFrame) -> list[dict]:
     return [{"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows]
 
 
+class ParquetStore:
+    """Default stage-table store: one parquet directory per stage."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def write(self, spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+        path = os.path.join(self.root, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))
+
+
+class IcebergStore:
+    """Iceberg stage-table store: ``writeTo(...).createOrReplace()`` behind
+    the same seam (the SURVEY risk-register swap, one interface).
+
+    Requires an Iceberg catalog on the session
+    (``spark.sql.catalog.<catalog>`` + iceberg-spark-runtime jar); use
+    :meth:`available` to pick a store at runtime. Each stage becomes the
+    table ``<catalog>.<namespace>.<name>`` — atomic replace, snapshot
+    history and partition metadata come from the Iceberg spec itself.
+    """
+
+    def __init__(self, catalog: str, namespace: str = "er_stages"):
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def table(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    @staticmethod
+    def available(spark: SparkSession, catalog: str) -> bool:
+        try:
+            spark.conf.get(f"spark.sql.catalog.{catalog}")
+            return True
+        except Exception:
+            return False
+
+    def write(self, spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+        )
+        df.writeTo(self.table(name)).using("iceberg").createOrReplace()
+        return spark.read.table(self.table(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.table(self.table(name))
+
+
 class StageManager:
     """Skip-if-complete stage runner.
 
@@ -52,14 +104,19 @@ class StageManager:
         root: str,
         params: dict | None = None,
         enabled: bool = True,
+        store: ParquetStore | IcebergStore | None = None,
     ):
         """``enabled=False`` turns the manager into a passthrough (each stage
         is ``localCheckpoint``-ed to cut lineage but nothing hits disk and no
         counters are collected) — used by throughput benchmarks where the
-        durability contract isn't under test."""
+        durability contract isn't under test. ``store`` swaps the stage-table
+        backend (parquet directories by default, Iceberg tables when a
+        catalog is configured); resume manifests stay as JSON files under
+        ``root`` either way."""
         self.spark = spark
         self.root = root
         self.enabled = enabled
+        self.store = store or ParquetStore(root)
         self.chain_hash = params_hash(params or {})
         self.counters: dict[str, dict] = {}
         if enabled:
@@ -67,9 +124,6 @@ class StageManager:
 
     def _meta_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.meta.json")
-
-    def _data_path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}.parquet")
 
     def stage(
         self,
@@ -85,7 +139,6 @@ class StageManager:
             # the blocking and scoring stages: 2x shingle+hash cost)
             return build().persist()
         meta_path = self._meta_path(name)
-        data_path = self._data_path(name)
         # every stage's identity folds in upstream identities
         self.chain_hash = params_hash({"prev": self.chain_hash, "stage": name})
         if os.path.exists(meta_path):
@@ -93,10 +146,9 @@ class StageManager:
                 meta = json.load(f)
             if meta.get("params_hash") == self.chain_hash:
                 self.counters[name] = meta | {"resumed": True}
-                return self.spark.read.parquet(data_path)
+                return self.store.read(self.spark, name)
         df = build()
-        df.write.mode("overwrite").parquet(data_path)
-        out = self.spark.read.parquet(data_path)
+        out = self.store.write(self.spark, name, df)
         meta = {
             "stage": name,
             "params_hash": self.chain_hash,

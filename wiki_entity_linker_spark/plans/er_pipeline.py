@@ -49,7 +49,7 @@ from wiki_entity_linker_spark.operators.blocking import (
     with_file_id,
 )
 from wiki_entity_linker_spark.operators.closure import components_with_singletons
-from wiki_entity_linker_spark.operators.skew import drop_stopword_blocks, salt_large_blocks
+from wiki_entity_linker_spark.operators.skew import cap_and_salt_blocks
 from wiki_entity_linker_spark.plans.checkpoint import StageManager
 
 
@@ -90,6 +90,7 @@ def run_er_pipeline(
     cfg: ERConfig | None = None,
     checkpoint: bool = True,
     alias_dict: DataFrame | None = None,
+    store=None,
 ) -> dict[str, DataFrame]:
     cfg = cfg or ERConfig()
     # The resume key must identify the INPUT, not just the config: the same
@@ -104,6 +105,7 @@ def run_er_pipeline(
             "alias_dict": None if alias_dict is None else _input_fingerprint(alias_dict),
         },
         enabled=checkpoint,
+        store=store,
     )
 
     # 1. ingest — canonical ids + per-row sha256 invariant; spread the raw
@@ -178,8 +180,12 @@ def run_er_pipeline(
         blocks = ab.unionByName(lb)
         if alias_dict is not None:
             blocks = blocks.unionByName(alias_dict_blocks(reps, alias_dict))
-        blocks = drop_stopword_blocks(blocks, max_size=cfg.stopword_block_max)
-        return salt_large_blocks(blocks, cap=cfg.salt_cap)
+        # fused stopword-cap + salting: ONE pass over the blocking subtree
+        # (the MinHash computation lives inside it — a drop→salt composition
+        # re-evaluated it once per union branch)
+        return cap_and_salt_blocks(
+            blocks, max_size=cfg.stopword_block_max, cap=cfg.salt_cap
+        )
 
     blocks = mgr.stage("blocks", _blocks)
 
@@ -203,9 +209,17 @@ def run_er_pipeline(
         )
         sh_a = shingles(tokenize("content_a"), cfg.k_shingle)
         sh_b = shingles(tokenize("content_b"), cfg.k_shingle)
+        # EXPLICIT repartition between the content join and the scorer
+        # projection: AQE coalesces the join output by byte size, but the
+        # scorers are CPU-bound per ROW (shingle Jaccard + two Arrow UDFs),
+        # so a byte-balanced plan serializes the Python workers onto a
+        # handful of partitions (measured: the scores stage ran in ~50 s at
+        # BOTH 8 and 32 cores before this). An explicit numPartitions is
+        # exempt from AQE coalescing.
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
+            .repartition(n_part * 2)
             .select(
                 "id_a",
                 "id_b",

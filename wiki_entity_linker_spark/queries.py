@@ -535,6 +535,64 @@ def name_split(spark, sf_dir):
 
 
 @q(
+    "name_variants",
+    """WITH named AS (
+         SELECT p_partkey,
+                array_to_string(list_transform(string_split(p_name, ' '),
+                                               x -> upper(x[1]) || x[2:]),
+                                ' ') AS name
+         FROM part WHERE p_partkey <= 500),
+       parts AS (
+         SELECT p_partkey, name, string_split(name, ' ') AS p,
+                list_filter(string_split(name, ' '), x -> x <> '') AS ne
+         FROM named),
+       mid AS (
+         SELECT *, list_filter(p[2:len(p)-1], x -> x <> '') AS m FROM parts)
+       SELECT p_partkey,
+              CASE WHEN len(p) > 2 AND
+                        len(list_filter(ne, x -> NOT (upper(x[1]) = x[1]
+                                                 AND lower(x[1]) <> x[1]))) = 0
+                   THEN list_sort(list_distinct([
+                     p[1] || ' ' || p[-1],
+                     p[1] || ' ' || array_to_string(list_transform(m, x -> x[1]), ' ')
+                          || ' ' || p[-1],
+                     p[1] || ' ' || array_to_string(list_transform(m, x -> x[1] || '.'), '')
+                          || ' ' || p[-1],
+                     p[1] || ' ' || array_to_string(list_transform(m, x -> x[1] || '.'), ' ')
+                          || ' ' || p[-1]]))
+                   ELSE [] END AS variants,
+              CASE WHEN name LIKE '%s' THEN [name, substr(name, 1, length(name) - 1)]
+                   ELSE [name] END AS singular
+       FROM mid""",
+)
+def name_variants(spark, sf_dir):
+    """2.7 middle-name variant generation + trailing-s singularization
+    (hyperlink_reference_linker.py:65-89, prefix_trie_linker.py:235-246)
+    over title-cased part names."""
+    from wiki_entity_linker_spark.functions.text import (
+        middle_name_variants,
+        singular_variants,
+    )
+
+    titled = F.concat_ws(
+        " ",
+        F.transform(
+            F.split("p_name", " "),
+            lambda t: F.concat(F.upper(F.substring(t, 1, 1)), t.substr(F.lit(2), F.length(t))),
+        ),
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            middle_name_variants(titled).alias("variants"),
+            singular_variants(titled).alias("singular"),
+        )
+    )
+
+
+@q(
     "prf1_rollup",
     """SELECT l_returnflag AS slice,
               CAST(sum(CASE WHEN actual AND predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp,
