@@ -124,7 +124,14 @@ def run_scaling(
     for _ in range(repeats):
         for cpus in (lo, hi):
             load_before = _loadavg()
+            # CPU-affinity cap: local[N] bounds JVM task threads but NOT the
+            # pandas-UDF python workers — an uncapped "8-core" run actually
+            # burns up to 2N cores, silently inflating the small config and
+            # corrupting the N-vs-4N comparison. taskset pins the whole
+            # process tree (JVM + python workers) to exactly N CPUs, which is
+            # what an N-core executor would get on a real cluster.
             cmd = [
+                "taskset", "-c", f"0-{cpus - 1}",
                 sys.executable, os.path.abspath(__file__),
                 "--er-run", "--cpus", str(cpus), "--scale", scale,
                 "--corpus-root", corpus_root,

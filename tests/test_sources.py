@@ -204,3 +204,36 @@ def test_prediction_format_dispatch(spark, tmp_path):
         assert r["linked_by"] == fmt
     with pytest.raises(ValueError, match="unknown prediction format"):
         read_predictions(spark, str(tsv), "nif")
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    """S7: articles written with write_jsonl re-read losslessly through the
+    article reader (hyperlink structs survive the tuple re-encode? no — the
+    sink writes structs as objects, so roundtrip goes through the typed
+    schema, not the raw tuple form)."""
+    import json as _json
+
+    from wiki_entity_linker_spark.sources.tables import write_jsonl
+
+    p = tmp_path / "arts.jsonl"
+    p.write_text(
+        "\n".join(
+            _json.dumps(
+                {"id": i, "title": f"T{i}", "text": f"body {i}",
+                 "hyperlinks": [[[0, 4], f"T{i + 1}"]],
+                 "labels": [{"id": 0, "span": [0, 4], "entity_id": f"Q{i}",
+                             "name": f"T{i}", "type": "Q1", "coref": False}]}
+            )
+            for i in range(20)
+        )
+        + "\n"
+    )
+    arts = read_articles_jsonl(spark, str(p))
+    out = tmp_path / "out_jsonl"
+    write_jsonl(arts, str(out))
+    back = spark.read.json(str(out))
+    assert back.count() == 20
+    row = back.orderBy("id").first()
+    assert row["hyperlinks"][0]["target"] == "T1"
+    assert list(row["hyperlinks"][0]["span"]) == [0, 4]
+    assert back.select(F.explode("labels")).count() == 20

@@ -58,6 +58,10 @@ SCALES = {
     # 2x bench: enough parallel work that the ~20 s fixed overhead (JIT
     # warmup, job scheduling, CC rounds) stops dominating scaling runs
     "benchxl": dict(n_entities=80000, n_repos=800, vendored_repo_frac=0.10),
+    # 4x benchxl (~760k files): after the round-2 pipeline speedups the
+    # benchxl job finishes in ~1 min on 8 cores, small enough that fixed
+    # overhead swamps the 32-core leg; scaling efficiency is measured here
+    "benchxxl": dict(n_entities=320000, n_repos=3200, vendored_repo_frac=0.10),
 }
 
 

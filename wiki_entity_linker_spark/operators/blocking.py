@@ -64,6 +64,32 @@ def minhash_from_shingles(
     ex = df.select(F.col(id_col), F.explode(shingle_col).alias("shingle")).select(
         id_col, h64("shingle").alias("hs")
     )
+    return _minhash_from_hash_rows(ex, id_col, n_hashes)
+
+
+def minhash_from_hashes(
+    df: DataFrame,
+    id_col: str = "file_id",
+    hash_array_col: str = "hsh",
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """MinHash signatures from a precomputed int64 shingle-HASH array.
+
+    The ER pipeline hashes each doc's shingles exactly once (xxhash64, no
+    md5, no string shuffles) and reuses that array for both LSH blocking and
+    the pairwise Jaccard verify — this variant derives the signature family
+    from those hashes directly. (Oracle-checked queries keep the portable
+    md5-based ``h64`` path in :func:`minhash_from_shingles`.)
+    """
+    ex = df.select(F.col(id_col), F.explode(F.col(hash_array_col)).alias("h0")).select(
+        id_col,
+        # keep the family arithmetic in non-negative 60-bit space like h64
+        F.abs(F.col("h0")).alias("hs"),
+    )
+    return _minhash_from_hash_rows(ex, id_col, n_hashes)
+
+
+def _minhash_from_hash_rows(ex: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
     aggs = [
         F.min(mh_mix(F.col("hs"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(mh_family(n_hashes))

@@ -44,7 +44,7 @@ from wiki_entity_linker_spark.operators.blocking import (
     alias_blocks,
     alias_dict_blocks,
     lsh_band_blocks,
-    minhash_from_shingles,
+    minhash_from_hashes,
     pairs_from_blocks,
     with_file_id,
 )
@@ -142,13 +142,6 @@ def run_er_pipeline(
     # representatives, spread across cores: checkpointed stage tables are
     # often a single small parquet split, and the shingle/minhash expressions
     # are the CPU hot path — never let them run on one partition.
-    #
-    # SIZING NOTE: token/shingle arrays are NEVER persisted, checkpointed or
-    # shuffled — only `content` is. Recomputing shingles from content costs
-    # ~8 s per 100k files on 16 cores; materializing the exploded string
-    # arrays into the columnar cache was measured ~20x slower ((de)serializing
-    # 10^8 small strings), and at 10^12-file scale would multiply the
-    # stage-table footprint for no reuse benefit.
     n_part = spark.sparkContext.defaultParallelism
     reps = (
         ingested.join(
@@ -165,17 +158,30 @@ def run_er_pipeline(
         .persist()
     )
 
-    # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping
+    # Per-doc INT features, computed exactly once and shared by blocking and
+    # scoring: hashed distinct shingles (xxhash64) and hashed tokens. The
+    # string token/shingle arrays are never persisted or shuffled — int64
+    # arrays are ~10× cheaper to intersect per pair and allocation-light
+    # (the string-array per-pair formulation spent most of its time in the
+    # JVM allocator/GC and scaled at only ~0.6 efficiency on 4× cores).
+    feats = (
+        reps.select(
+            "file_id",
+            "fname",
+            F.transform(
+                shingles(tokenize("content"), cfg.k_shingle), lambda s: F.xxhash64(s)
+            ).alias("hsh"),
+            hashed_tokens(tokenize("content")).alias("htok"),
+        )
+        .persist()
+    )
+
+    # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping.
+    # The MinHash family derives from the SAME per-doc hash arrays the
+    # scorer uses (no second shingle pass).
     def _blocks() -> DataFrame:
         ab = alias_blocks(reps)
-        sigs = minhash_from_shingles(
-            reps.select(
-                "file_id", shingles(tokenize("content"), cfg.k_shingle).alias("sh")
-            ),
-            "file_id",
-            "sh",
-            cfg.n_hashes,
-        )
+        sigs = minhash_from_hashes(feats, "file_id", "hsh", cfg.n_hashes)
         lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
         blocks = ab.unionByName(lb)
         if alias_dict is not None:
@@ -192,30 +198,27 @@ def run_er_pipeline(
     # 4. candidate pairs (canonical order, deduped across block types)
     pairs = mgr.stage("pairs", lambda: pairs_from_blocks(blocks))
 
-    # 5. scoring: JVM-side Jaccard on shingles; Arrow UDFs for the rest.
-    # Join CONTENT to the pairs and re-derive tokens/shingles after the join:
-    # shuffling raw content is far cheaper than shuffling its token arrays,
-    # and candidate pairs are a small fraction of the corpus.
+    # 5. scoring over the per-doc int features; Arrow UDF only for the
+    # cosine (numpy) and name Jaro-Winkler (vectorized kernel).
     def _scores() -> DataFrame:
-        a = reps.select(
+        a = feats.select(
             F.col("file_id").alias("id_a"),
-            F.col("content").alias("content_a"),
+            F.col("hsh").alias("hsh_a"),
+            F.col("htok").alias("htok_a"),
             F.col("fname").alias("fname_a"),
         )
-        b = reps.select(
+        b = feats.select(
             F.col("file_id").alias("id_b"),
-            F.col("content").alias("content_b"),
+            F.col("hsh").alias("hsh_b"),
+            F.col("htok").alias("htok_b"),
             F.col("fname").alias("fname_b"),
         )
-        sh_a = shingles(tokenize("content_a"), cfg.k_shingle)
-        sh_b = shingles(tokenize("content_b"), cfg.k_shingle)
-        # EXPLICIT repartition between the content join and the scorer
+        # EXPLICIT repartition between the feature join and the scorer
         # projection: AQE coalesces the join output by byte size, but the
-        # scorers are CPU-bound per ROW (shingle Jaccard + two Arrow UDFs),
-        # so a byte-balanced plan serializes the Python workers onto a
-        # handful of partitions (measured: the scores stage ran in ~50 s at
-        # BOTH 8 and 32 cores before this). An explicit numPartitions is
-        # exempt from AQE coalescing.
+        # scorers are CPU-bound per ROW, so a byte-balanced plan serializes
+        # the workers onto a handful of partitions (measured: the scores
+        # stage ran in ~50 s at BOTH 8 and 32 cores before this). An
+        # explicit numPartitions is exempt from AQE coalescing.
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
@@ -223,14 +226,8 @@ def run_er_pipeline(
             .select(
                 "id_a",
                 "id_b",
-                F.round(token_jaccard(sh_a, sh_b), 6).alias("shingle_jaccard"),
-                F.round(
-                    hashed_tf_cosine_udf(
-                        hashed_tokens(tokenize("content_a")),
-                        hashed_tokens(tokenize("content_b")),
-                    ),
-                    6,
-                ).alias("tf_cosine"),
+                F.round(token_jaccard("hsh_a", "hsh_b"), 6).alias("shingle_jaccard"),
+                F.round(hashed_tf_cosine_udf("htok_a", "htok_b"), 6).alias("tf_cosine"),
                 F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
             )
         )

@@ -1000,11 +1000,55 @@ def suppress_overlaps_spans(spark, sf_dir):
     return suppress_overlaps(spans_df, "doc_id", "start", "end")
 
 
-@q("ann_lsh_topk", None)
+def _lsh_oracle(dim: int, k: int, n_planes: int, n_tables: int, seed: int = 42) -> str:
+    """DuckDB mirror of lsh_topk: the SAME seeded numpy plane literals are
+    embedded into the SQL, so the probabilistic LSH path itself — bucket
+    assignment, multi-table candidate union, exact re-rank — is
+    deterministically oracle-checked, not just recall-tested."""
+    import numpy as np
+
+    def bucket_expr(t: int) -> str:
+        rng = np.random.RandomState(seed * 1000 + t)
+        planes = rng.standard_normal((n_planes, dim))
+        terms = [
+            f"CASE WHEN list_dot_product(e, [{','.join(repr(float(x)) for x in pl)}])"
+            f" >= 0 THEN {1 << i} ELSE 0 END"
+            for i, pl in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    def buckets(src: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {idc}, 't{t}:' || CAST({bucket_expr(t)} AS VARCHAR) AS bucket"
+            f" FROM {src}"
+            for t in range(n_tables)
+        )
+
+    return f"""
+       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id < 10),
+       vb AS ({buckets('v', 'vec_id')}),
+       qb AS ({buckets('q', 'query_id')}),
+       cand AS (SELECT DISTINCT qb.query_id, vb.vec_id
+                FROM vb JOIN qb USING (bucket)),
+       scored AS (SELECT c.query_id, c.vec_id,
+                         list_cosine_similarity(q.e, v.e) AS cs
+                  FROM cand c JOIN v ON c.vec_id = v.vec_id
+                              JOIN q ON c.query_id = q.query_id),
+       ranked AS (SELECT query_id, vec_id, cs,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cs DESC, vec_id) AS rnk
+                  FROM scored)
+       SELECT query_id, vec_id, round(cs, 6) AS cos, rnk AS rank
+       FROM ranked WHERE rnk <= {k}"""
+
+
+@q("ann_lsh_topk", _lsh_oracle(dim=64, k=5, n_planes=6, n_tables=3))
 def ann_lsh_topk(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH (scale path
-    of embedding_cosine_topk; plane literals impractical to mirror in SQL —
-    recall measured against the exact top-k in tests)."""
+    of embedding_cosine_topk). The oracle replicates the seeded plane
+    literals, bucket join and re-rank exactly (see _lsh_oracle)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1012,10 +1056,46 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
 
 
-@q("er_cluster_documents", None)
+def _cc_oracle(n_hashes: int, bands: int, k_shingle: int, thr: float) -> str:
+    """Full flagship oracle: the band-exact MinHash pair SQL feeding a
+    recursive-CTE connected components (min-id labels + singletons) — the
+    same closed-form the Spark side computes with large-star/small-star."""
+    rows = n_hashes // bands
+    mixes = ",\n              ".join(
+        f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_family(n_hashes))
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rows + r} = b.mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    jac = ("len(list_intersect(ga.g, gb.g))::DOUBLE /"
+           " (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))")
+    return f"""
+       WITH RECURSIVE toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       shl AS (SELECT doc_id, {_shingles_sql('t', k_shingle)} AS g FROM toks),
+       sh AS (SELECT doc_id, unnest(g) AS shingle FROM shl),
+       h AS (SELECT doc_id, {h64_sql('shingle')} AS hs FROM sh),
+       sig AS (SELECT doc_id, {mixes} FROM h GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+             JOIN shl ga ON ga.doc_id = a.doc_id
+             JOIN shl gb ON gb.doc_id = b.doc_id
+             WHERE {jac} >= {thr}),
+       edges AS (SELECT id_a AS u, id_b AS v FROM p
+                 UNION SELECT id_b, id_a FROM p),
+       reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+                 UNION
+                 SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+       SELECT id, min(r) AS component FROM reach GROUP BY id"""
+
+
+@q("er_cluster_documents", _cc_oracle(16, 8, 3, 0.3))
 def er_cluster_documents(spark, sf_dir):
     """Flagship composite: near-dup clustering of the documents table
-    (MinHash blocking → Jaccard verify → connected components)."""
+    (MinHash blocking → Jaccard verify → connected components). Fully
+    oracle-checked: banding, verify threshold AND the transitive clustering
+    are replicated in DuckDB (recursive CTE)."""
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3

@@ -164,6 +164,15 @@ def filter_qid_rows(df: DataFrame, qid_col: str) -> DataFrame:
     return df.filter(F.col(qid_col).rlike("^Q[0-9]+$"))
 
 
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSONL sink (S7) — the reference's article interchange output
+    (link_text.py:59-70 writes one JSON per line). Spark's json writer emits
+    exactly one object per line; ``single_file`` mirrors the reference's
+    one-file outputs for small result sets."""
+    w = df.coalesce(1) if single_file else df
+    w.write.mode("overwrite").json(path)
+
+
 def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """TSV sink (S8). ``single_file`` mirrors the reference's sorted
     one-file outputs — only for small dimension tables; large tables keep
