@@ -121,6 +121,25 @@ def lsh_band_blocks(
     return sig_df.select(F.col(id_col), F.explode(band_keys).alias("block_key"))
 
 
+def path_stem_key(path_col: str = "path") -> "F.Column":
+    """Normalized filename stem (no extension, no -/_, lowercased)."""
+    stem = F.regexp_replace(
+        F.element_at(F.split(F.col(path_col), "/"), -1), "\\.[a-z]+$", ""
+    )
+    return F.lower(F.regexp_replace(stem, "[-_]", ""))
+
+
+def def_name_keys(content_col: str = "content") -> "F.Column":
+    """Distinct top-level defined names (the link-anchor analogue)."""
+    return F.array_distinct(
+        F.expr(
+            f"regexp_extract_all({content_col}, "
+            r"'(?m)^(?:def|func|function|class|int|void|public) "
+            r"([A-Za-z_][A-Za-z0-9_]*)\\(', 1)"
+        )
+    )
+
+
 def alias_blocks(
     df: DataFrame, id_col: str = "file_id", content_col: str = "content",
     path_col: str = "path",
@@ -133,18 +152,27 @@ def alias_blocks(
     * defined top-level names (first identifier after a definition keyword),
       extracted with ``regexp_extract_all`` — the link-anchor analogue.
     """
-    stem = F.regexp_replace(
-        F.element_at(F.split(F.col(path_col), "/"), -1), "\\.[a-z]+$", ""
-    )
-    stem_norm = F.lower(F.regexp_replace(stem, "[-_]", ""))
-    def_names = F.expr(
-        rf"regexp_extract_all(content, '(?m)^(?:def|func|function|class|int|void|public) ([A-Za-z_][A-Za-z0-9_]*)\\(', 1)"
-    ) if content_col == "content" else F.array()
-    stems = df.select(F.col(id_col), F.concat(F.lit("stem:"), stem_norm).alias("block_key"))
-    defs = df.select(
+    feats = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(def_names)).alias("name"),
-    ).select(
+        path_stem_key(path_col).alias("stem"),
+        def_name_keys(content_col).alias("defs"),
+    )
+    return alias_blocks_from_features(feats, id_col)
+
+
+def alias_blocks_from_features(
+    feats: DataFrame,
+    id_col: str = "file_id",
+    stem_col: str = "stem",
+    defs_col: str = "defs",
+) -> DataFrame:
+    """alias_blocks from precomputed (stem, defs) feature columns — lets the
+    ER pipeline derive ALL blocking keys from the one compact per-doc
+    feature table instead of re-reading raw content."""
+    stems = feats.select(
+        F.col(id_col), F.concat(F.lit("stem:"), F.col(stem_col)).alias("block_key")
+    )
+    defs = feats.select(F.col(id_col), F.explode(defs_col).alias("name")).select(
         id_col, F.concat(F.lit("def:"), F.lower(F.col("name"))).alias("block_key")
     )
     return stems.unionByName(defs)

@@ -130,14 +130,22 @@ class StageManager:
         name: str,
         build: Callable[[], DataFrame],
         collect_lineage: bool = True,
+        cache: bool = True,
     ) -> DataFrame:
-        """Run (or resume) one stage; chain the params hash downstream."""
+        """Run (or resume) one stage; chain the params hash downstream.
+
+        ``cache=False`` marks a stage as cheap-to-recompute (e.g. a
+        projection of the raw scan): in passthrough mode it is NOT persisted
+        — executor storage memory is a budget, and caching bulk columns that
+        are consumed once starves the caches that are actually reused.
+        """
         if not self.enabled:
             # persist (lazy): computed once on first action, REUSED by every
             # downstream stage — a lazy localCheckpoint here caused repeated
             # recomputation of shared stages (features was rebuilt by both
             # the blocking and scoring stages: 2x shingle+hash cost)
-            return build().persist()
+            df = build()
+            return df.persist() if cache else df
         meta_path = self._meta_path(name)
         # every stage's identity folds in upstream identities
         self.chain_hash = params_hash({"prev": self.chain_hash, "stage": name})

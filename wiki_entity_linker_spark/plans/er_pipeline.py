@@ -41,11 +41,13 @@ from wiki_entity_linker_spark.functions.similarity import (
 )
 from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
 from wiki_entity_linker_spark.operators.blocking import (
-    alias_blocks,
+    alias_blocks_from_features,
     alias_dict_blocks,
+    def_name_keys,
     lsh_band_blocks,
     minhash_from_hashes,
     pairs_from_blocks,
+    path_stem_key,
     with_file_id,
 )
 from wiki_entity_linker_spark.operators.closure import components_with_singletons
@@ -109,16 +111,31 @@ def run_er_pipeline(
     )
 
     # 1. ingest — canonical ids + per-row sha256 invariant; spread the raw
-    # scan across cores immediately (upstream may be one parquet split)
+    # scan across cores immediately (upstream may be one parquet split).
+    # MEMORY CONTRACT: the ingest table carries METADATA ONLY — no content
+    # column. Caching bulk content (twice: ingest + reps) starved executor
+    # storage at larger corpora and made the 32-core config SLOWER than the
+    # 8-core one; content is scanned exactly once more, below, to build the
+    # compact per-doc feature table, and never cached raw.
     n_ingest = spark.sparkContext.defaultParallelism * 2
+    # only SHUFFLE raw content when the source arrives under-partitioned
+    # (in-memory test frames, a single parquet split); a well-split parquet
+    # scan (spark.sql.files.maxPartitionBytes) is already parallel and a
+    # full-content repartition would move every byte twice for nothing
+    src = (
+        source_files
+        if source_files.rdd.getNumPartitions() >= n_ingest // 2
+        else source_files.repartition(n_ingest)
+    )
+    raw = with_file_id(src)
+
     def _ingest() -> DataFrame:
-        return with_file_id(source_files.repartition(n_ingest)).select(
+        return raw.select(
             "file_id",
             "repo",
             "path",
             "commit",
             "lang",
-            "content",
             F.sha2("content", 256).alias("sha256"),
             F.sha2(normalize_content("content"), 256).alias("content_hash"),
         )
@@ -139,35 +156,33 @@ def run_er_pipeline(
 
     exact_groups = mgr.stage("exact_groups", _exact)
 
-    # representatives, spread across cores: checkpointed stage tables are
-    # often a single small parquet split, and the shingle/minhash expressions
-    # are the CPU hot path — never let them run on one partition.
+    # representatives' raw rows (NOT cached — consumed exactly once, by the
+    # feature projection below), spread across cores: the shingle/minhash
+    # expressions are the CPU hot path — never let them run on one partition.
     n_part = spark.sparkContext.defaultParallelism
     reps = (
-        ingested.join(
+        raw.select("file_id", "path", "lang", "content")
+        .join(
             exact_groups.select(F.col("rep_id").alias("file_id")), "file_id", "inner"
         )
-        .select(
-            "file_id",
-            "path",
-            "lang",
-            "content",
-            F.element_at(F.split("path", "/"), -1).alias("fname"),
-        )
         .repartition(n_part, "file_id")
-        .persist()
     )
 
-    # Per-doc INT features, computed exactly once and shared by blocking and
-    # scoring: hashed distinct shingles (xxhash64) and hashed tokens. The
-    # string token/shingle arrays are never persisted or shuffled — int64
-    # arrays are ~10× cheaper to intersect per pair and allocation-light
-    # (the string-array per-pair formulation spent most of its time in the
-    # JVM allocator/GC and scaled at only ~0.6 efficiency on 4× cores).
+    # Per-doc features, computed in ONE pass over content and shared by
+    # blocking and scoring — the ONLY bulk cache in the pipeline:
+    # * hsh:  xxhash64 of each distinct k-shingle (int64 array),
+    # * htok: hashed tokens for TF-cosine (int64 array),
+    # * stem/defs/fname: alias blocking keys.
+    # Int arrays are ~10× cheaper to intersect per pair than string shingle
+    # arrays and allocation-light (the string formulation spent most of its
+    # time in the JVM allocator/GC and scaled at only ~0.6 efficiency on 4×
+    # cores); raw content is never cached or shuffled anywhere.
     feats = (
         reps.select(
             "file_id",
-            "fname",
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            path_stem_key("path").alias("stem"),
+            def_name_keys("content").alias("defs"),
             F.transform(
                 shingles(tokenize("content"), cfg.k_shingle), lambda s: F.xxhash64(s)
             ).alias("hsh"),
@@ -177,10 +192,10 @@ def run_er_pipeline(
     )
 
     # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping.
-    # The MinHash family derives from the SAME per-doc hash arrays the
-    # scorer uses (no second shingle pass).
+    # Every key family derives from the per-doc feature table (no second
+    # content pass).
     def _blocks() -> DataFrame:
-        ab = alias_blocks(reps)
+        ab = alias_blocks_from_features(feats)
         sigs = minhash_from_hashes(feats, "file_id", "hsh", cfg.n_hashes)
         lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
         blocks = ab.unionByName(lb)
@@ -244,10 +259,14 @@ def run_er_pipeline(
     edges = mgr.stage("edges", _edges)
 
     # 7. large-star/small-star connected components over representatives
+    # (node set from the small cached exact_groups table, not raw rows)
     comps = mgr.stage(
         "components",
         lambda: components_with_singletons(
-            reps, edges, id_col="file_id", max_iter=cfg.max_cc_iter
+            exact_groups.select(F.col("rep_id").alias("file_id")),
+            edges,
+            id_col="file_id",
+            max_iter=cfg.max_cc_iter,
         ),
     )
 
