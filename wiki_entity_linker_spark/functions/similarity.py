@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -333,6 +334,56 @@ def hashed_tokens(tokens: Column | str) -> Column:
     Arrow is ~3x cheaper than the token strings, and numpy can then vectorize
     the term-frequency math; hash collisions are negligible for cosine."""
     return F.transform(_c(tokens), lambda t: F.xxhash64(t))
+
+
+_TF_COMPRESSED = StructType(
+    [
+        StructField("u", ArrayType(LongType())),
+        StructField("c", ArrayType(IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(_TF_COMPRESSED)
+def tf_compress_udf(htok: pd.Series) -> pd.DataFrame:
+    """Per-DOC term-frequency compression: hashed token array → (sorted
+    unique hashes, counts). Computed once per document at feature-build
+    time so the pair scorer never re-runs np.unique per pair and the
+    shuffled payload shrinks ~4× (unique terms ≪ tokens)."""
+    us, cs = [], []
+    for arr in htok.to_numpy():
+        a = np.asarray(arr if arr is not None else [], dtype=np.int64)
+        u, c = np.unique(a, return_counts=True)
+        us.append(u)
+        cs.append(c.astype(np.int32))
+    return pd.DataFrame({"u": us, "c": cs})
+
+
+@F.pandas_udf(DoubleType())
+def tf_dot_udf(
+    ua: pd.Series, ca: pd.Series, ub: pd.Series, cb: pd.Series
+) -> pd.Series:
+    """Dot product of two compressed TF vectors (sorted unique keys +
+    counts) via sorted intersection — norms are precomputed per doc, so the
+    per-pair Python work is ONE searchsorted pass."""
+    out = np.empty(len(ua), dtype=np.float64)
+    uav, cav, ubv, cbv = (s.to_numpy() for s in (ua, ca, ub, cb))
+    for i in range(len(uav)):
+        x, cx = uav[i], cav[i]
+        y, cy = ubv[i], cbv[i]
+        if x is None or y is None or len(x) == 0 or len(y) == 0:
+            out[i] = 0.0
+            continue
+        x = np.asarray(x, dtype=np.int64)
+        y = np.asarray(y, dtype=np.int64)
+        idx = np.searchsorted(x, y)
+        idx[idx == x.size] = 0
+        mask = x[idx] == y
+        out[i] = float(
+            np.asarray(cx, dtype=np.float64)[idx[mask]]
+            @ np.asarray(cy, dtype=np.float64)[mask]
+        )
+    return pd.Series(out)
 
 
 @F.pandas_udf(DoubleType())

@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 
 from wiki_entity_linker_spark.eval.pairwise import evaluate_against_labeled_pairs
 from wiki_entity_linker_spark.functions.similarity import (
-    hashed_tf_cosine_udf,
     hashed_tokens,
     jaro_winkler_udf,
+    tf_compress_udf,
+    tf_dot_udf,
     token_jaccard,
 )
 from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
@@ -130,6 +131,13 @@ def run_er_pipeline(
     raw = with_file_id(src)
 
     def _ingest() -> DataFrame:
+        # Metadata + invariants ONLY. Do NOT fold the feature expressions in
+        # here: one giant projection exceeds the whole-stage-codegen method
+        # limit, Spark falls back to INTERPRETED expression eval, and the
+        # higher-order shingle lambdas then re-evaluate tokenize(content)
+        # per array element — observed as a single task pinning a core for
+        # 10+ minutes (codegen's common-subexpression elimination is what
+        # makes the inlined HOF form safe).
         return raw.select(
             "file_id",
             "repo",
@@ -156,27 +164,24 @@ def run_er_pipeline(
 
     exact_groups = mgr.stage("exact_groups", _exact)
 
-    # representatives' raw rows (NOT cached — consumed exactly once, by the
-    # feature projection below), spread across cores: the shingle/minhash
-    # expressions are the CPU hot path — never let them run on one partition.
+    # Representatives' raw rows (NOT cached — consumed once, by the feature
+    # projection), spread across cores for the CPU-heavy shingle expressions.
     n_part = spark.sparkContext.defaultParallelism
+    rep_ids = exact_groups.select(F.col("rep_id").alias("file_id"))
     reps = (
         raw.select("file_id", "path", "lang", "content")
-        .join(
-            exact_groups.select(F.col("rep_id").alias("file_id")), "file_id", "inner"
-        )
+        .join(rep_ids, "file_id", "left_semi")
         .repartition(n_part, "file_id")
     )
 
-    # Per-doc features, computed in ONE pass over content and shared by
-    # blocking and scoring — the ONLY bulk cache in the pipeline:
+    # Per-doc features, ONE pass over representatives' content, shared by
+    # blocking and scoring — the only bulk cache in the pipeline:
     # * hsh:  xxhash64 of each distinct k-shingle (int64 array),
-    # * htok: hashed tokens for TF-cosine (int64 array),
+    # * tfu/tfc/tfn: compressed TF (sorted unique hashed tokens, counts,
+    #   precomputed norm) so the pair cosine is one Arrow pass per pair,
     # * stem/defs/fname: alias blocking keys.
     # Int arrays are ~10× cheaper to intersect per pair than string shingle
-    # arrays and allocation-light (the string formulation spent most of its
-    # time in the JVM allocator/GC and scaled at only ~0.6 efficiency on 4×
-    # cores); raw content is never cached or shuffled anywhere.
+    # arrays; raw content is never cached or shuffled anywhere.
     feats = (
         reps.select(
             "file_id",
@@ -186,7 +191,26 @@ def run_er_pipeline(
             F.transform(
                 shingles(tokenize("content"), cfg.k_shingle), lambda s: F.xxhash64(s)
             ).alias("hsh"),
-            hashed_tokens(tokenize("content")).alias("htok"),
+            tf_compress_udf(hashed_tokens(tokenize("content"))).alias("tf"),
+        )
+        .select(
+            "file_id",
+            "fname",
+            "stem",
+            "defs",
+            "hsh",
+            F.col("tf.u").alias("tfu"),
+            F.col("tf.c").alias("tfc"),
+        )
+        .withColumn(
+            "tfn",
+            F.sqrt(
+                F.aggregate(
+                    "tfc",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
         )
         .persist()
     )
@@ -219,30 +243,38 @@ def run_er_pipeline(
         a = feats.select(
             F.col("file_id").alias("id_a"),
             F.col("hsh").alias("hsh_a"),
-            F.col("htok").alias("htok_a"),
+            F.col("tfu").alias("tfu_a"),
+            F.col("tfc").alias("tfc_a"),
+            F.col("tfn").alias("tfn_a"),
             F.col("fname").alias("fname_a"),
         )
         b = feats.select(
             F.col("file_id").alias("id_b"),
             F.col("hsh").alias("hsh_b"),
-            F.col("htok").alias("htok_b"),
+            F.col("tfu").alias("tfu_b"),
+            F.col("tfc").alias("tfc_b"),
+            F.col("tfn").alias("tfn_b"),
             F.col("fname").alias("fname_b"),
         )
-        # EXPLICIT repartition between the feature join and the scorer
-        # projection: AQE coalesces the join output by byte size, but the
-        # scorers are CPU-bound per ROW, so a byte-balanced plan serializes
-        # the workers onto a handful of partitions (measured: the scores
-        # stage ran in ~50 s at BOTH 8 and 32 cores before this). An
-        # explicit numPartitions is exempt from AQE coalescing.
+        # No repartition between the joins and the scorer projection: the
+        # join output already moves every feature array once per side, and a
+        # third array shuffle dominated the stage at larger corpora (the
+        # joined arrays are the payload — ids are noise). Partition-count
+        # floors are handled by spark.sql.shuffle.partitions = cores.
+        dot = tf_dot_udf("tfu_a", "tfc_a", "tfu_b", "tfc_b")
+        tf_cos = (
+            F.when((F.col("tfn_a") == 0) & (F.col("tfn_b") == 0), F.lit(1.0))
+            .when((F.col("tfn_a") == 0) | (F.col("tfn_b") == 0), F.lit(0.0))
+            .otherwise(dot / (F.col("tfn_a") * F.col("tfn_b")))
+        )
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
-            .repartition(n_part * 2)
             .select(
                 "id_a",
                 "id_b",
                 F.round(token_jaccard("hsh_a", "hsh_b"), 6).alias("shingle_jaccard"),
-                F.round(hashed_tf_cosine_udf("htok_a", "htok_b"), 6).alias("tf_cosine"),
+                F.round(tf_cos, 6).alias("tf_cosine"),
                 F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
             )
         )

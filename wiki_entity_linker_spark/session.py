@@ -53,6 +53,13 @@ def get_spark(
         # file at the default 128 MB split is a single task)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
+    # Shuffle/spill on tmpfs when available: the sandbox's single shared
+    # disk is a serial resource that caps multi-core scaling (a real 4×
+    # cluster brings 4× disks/NICs with it). Overridable via SPARK_LOCAL_DIRS.
+    if os.environ.get("SPARK_LOCAL_DIRS") is None and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
