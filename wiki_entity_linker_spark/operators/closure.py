@@ -64,16 +64,40 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily lower ``spark.sql.shuffle.partitions`` around an
+    iterative driver loop. Star-contraction rounds are many small BARRIER
+    stages; on a small graph their wall time is pure task-dispatch latency,
+    so a 32-partition shuffle of a thousand edges costs 4× the scheduling of
+    an 8-partition one for zero parallelism gain. At scale callers pass
+    ``None`` and the session setting stands."""
+
+    def __init__(self, spark, n: int | None):
+        self.spark, self.n, self.old = spark, n, None
+
+    def __enter__(self):
+        if self.n is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """→ ``(id, component)`` where component = min node id of the component.
 
     Nodes appearing only as isolated vertices must be handled by the caller
     (left-join the result and coalesce to the node's own id).
+    ``shuffle_partitions``: scoped override for small graphs (see
+    :class:`_scoped_shuffle_partitions`).
     """
     def _stats(d: DataFrame) -> tuple:
         """Cheap set fingerprint: (count, sum of row hashes) in ONE job —
@@ -85,17 +109,18 @@ def connected_components(
         ).collect()[0]
         return (r["n"], r["h"])
 
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
-    prev = _stats(e)
     converged = False
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _stats(e2)
-        e = e2
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    with _scoped_shuffle_partitions(edges.sparkSession, shuffle_partitions):
+        e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+        prev = _stats(e)
+        for _ in range(max_iter):
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _stats(e2)
+            e = e2
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
     if not converged:
         # A partially-converged edge set still contains conflicting
         # (id, component) rows; the dropDuplicates below would pick one
@@ -117,9 +142,10 @@ def connected_components(
 def components_with_singletons(
     nodes: DataFrame, edges: DataFrame, id_col: str = "file_id",
     src: str = "id_a", dst: str = "id_b", max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """All nodes labeled: edge components + singletons as their own id."""
-    comp = connected_components(edges, src, dst, max_iter)
+    comp = connected_components(edges, src, dst, max_iter, shuffle_partitions)
     return (
         nodes.select(F.col(id_col).alias("id"))
         .dropDuplicates(["id"])
@@ -133,6 +159,7 @@ def transitive_closure(
     src: str = "child",
     dst: str = "parent",
     max_depth: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """All (src, ancestor) pairs reachable via directed edges — the Spark
     recast of create_all_types_mapping.py:20-49 (depth-capped, cycle-safe).
@@ -147,29 +174,30 @@ def transitive_closure(
     """
     import math
 
-    base = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-        .persist()
-    )
-    closure = base
-    prev = closure.count()
-    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
-    for _ in range(rounds):
-        doubled = (
-            closure.alias("l")
-            .join(closure.alias("r"), F.col("l.b") == F.col("r.a"))
-            .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+    with _scoped_shuffle_partitions(edges.sparkSession, shuffle_partitions):
+        base = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+            .persist()
         )
-        nxt = closure.unionByName(doubled).dropDuplicates(["a", "b"]).persist()
-        n = nxt.count()  # materializes nxt, so the old closure can be dropped
-        if closure is not base:
-            closure.unpersist()  # bound executor storage: one live round only
-        closure = nxt
-        if n == prev:
-            break
-        prev = n
-    base.unpersist()
+        closure = base
+        prev = closure.count()
+        rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+        for _ in range(rounds):
+            doubled = (
+                closure.alias("l")
+                .join(closure.alias("r"), F.col("l.b") == F.col("r.a"))
+                .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+            )
+            nxt = closure.unionByName(doubled).dropDuplicates(["a", "b"]).persist()
+            n = nxt.count()  # materializes nxt, so the old closure can be dropped
+            if closure is not base:
+                closure.unpersist()  # bound executor storage: one live round only
+            closure = nxt
+            if n == prev:
+                break
+            prev = n
+        base.unpersist()
     return closure.select(F.col("a").alias(src), F.col("b").alias(dst))

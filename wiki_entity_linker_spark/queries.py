@@ -360,7 +360,7 @@ def closure_query(spark, sf_dir):
             F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
         )
     )
-    out = transitive_closure(edges, "child", "parent")
+    out = transitive_closure(edges, "child", "parent", shuffle_partitions=8)
     return out.select(F.col("child").cast("long"), F.col("parent").cast("long").alias("ancestor"))
 
 
@@ -383,7 +383,9 @@ def connected_components_query(spark, sf_dir):
         .select(F.col("file_id").alias("id_a"), (F.col("file_id") + 1).alias("id_b"))
         .join(nodes.select(F.col("file_id").alias("id_b")), "id_b", "left_semi")
     )
-    return components_with_singletons(nodes, edges, id_col="file_id").select(
+    return components_with_singletons(
+        nodes, edges, id_col="file_id", shuffle_partitions=8
+    ).select(
         F.col("id"), F.col("component")
     )
 
@@ -1101,7 +1103,7 @@ def er_cluster_documents(spark, sf_dir):
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3
     ).select("id_a", "id_b")
     nodes = d.select(F.col("doc_id").alias("file_id"))
-    return components_with_singletons(nodes, pairs, id_col="file_id")
+    return components_with_singletons(nodes, pairs, id_col="file_id", shuffle_partitions=8)
 
 
 def queries() -> dict[str, QueryFn]:
