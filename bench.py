@@ -89,6 +89,7 @@ def run_er(scale: str, cpus: int, corpus_root: str) -> dict:
     out = run_er_pipeline(spark, sf, None, workdir="", checkpoint=False)
     n_clusters = out["assignment"].select("component").distinct().count()
     wall = time.time() - t0
+    out["_cleanup"]()
     spark.stop()
     return {
         "metric": "er_pipeline_wall",

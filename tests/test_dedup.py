@@ -95,3 +95,22 @@ def test_lsh_topk_recall_vs_exact(spark):
     # every query finds itself, and recall is non-trivial
     assert all((q, q) in a for q in range(8))
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_neardup_lsh_parity_vs_brute_force(spark):
+    """The LSH-blocked scale path must be a subset of the brute-force
+    baseline (identical verify ⇒ precision 1.0) with high recall at this
+    plane/table setting, and must find the planted near-dup (θ≈0 pairs
+    collide in every table)."""
+    from wiki_entity_linker_spark.operators.dedup import embedding_neardup_lsh_pairs
+
+    df = _vec_df(spark, n=80, dim=8)
+    brute = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(df, threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_lsh_pairs(
+               df, dim=8, threshold=0.6, n_planes=4, n_tables=6
+           ).collect()}
+    assert lsh <= brute  # exact verify ⇒ no false positives
+    assert (0, 1) in lsh  # planted near-identical pair always collides
+    assert len(lsh) / max(len(brute), 1) >= 0.6  # recall at 4 planes × 6 tables

@@ -74,3 +74,14 @@ def test_minhash_single_shuffle(spark, sf001):
     # one repartition exchange (explicit spread) + one hash agg exchange
     assert plan.count("Exchange") <= 2
     assert "HashAggregate" in plan
+
+
+def test_embedding_neardup_plan_is_bucketed(spark, sf001):
+    """The registered embedding_neardup must be the LSH-blocked path: no
+    cartesian/nested-loop join anywhere in the physical plan (the round-2
+    brute-force registration was the repo's last O(n²) scale-killer)."""
+    from wiki_entity_linker_spark.queries import embedding_neardup
+
+    plan = _plan(embedding_neardup(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

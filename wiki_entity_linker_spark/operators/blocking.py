@@ -83,8 +83,9 @@ def minhash_from_hashes(
     """
     ex = df.select(F.col(id_col), F.explode(F.col(hash_array_col)).alias("h0")).select(
         id_col,
-        # keep the family arithmetic in non-negative 60-bit space like h64
-        F.abs(F.col("h0")).alias("hs"),
+        # keep the family arithmetic in non-negative 60-bit space like h64;
+        # mask rather than abs (abs(Long.MIN_VALUE) stays negative on the JVM)
+        F.col("h0").bitwiseAND(F.lit(0x0FFFFFFFFFFFFFFF)).alias("hs"),
     )
     return _minhash_from_hash_rows(ex, id_col, n_hashes)
 

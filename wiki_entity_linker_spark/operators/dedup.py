@@ -213,3 +213,54 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_neardup_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup, scale path: random-hyperplane LSH
+    bucket self-join blocking + exact cosine verify (no cross join).
+
+    Each of ``n_tables`` independent tables hashes every vector to the sign
+    pattern of ``n_planes`` seeded random projections (operators/ann.py
+    ``rhp_lsh_buckets`` — plane literals, JVM-side dot products); candidate
+    pairs are the within-bucket self-joins, unioned across tables and
+    deduped, then verified with the same exact cosine as the brute-force
+    baseline. Precision vs :func:`embedding_neardup_pairs` is exactly 1
+    (same verify); recall is the standard RHP-LSH collision probability
+    ``1-(1-(1-θ/π)^p)^t`` — tune planes/tables per threshold.
+
+    At 10⁸+ vectors the bucket self-join shuffles on ``bucket``; near-
+    duplicate-heavy corpora can produce hot buckets — route the bucket
+    table through ``operators.skew.cap_and_salt_blocks`` (same guard as the
+    ER blocking stage) before pairing if block-size skew shows up.
+    """
+    from wiki_entity_linker_spark.operators.ann import rhp_lsh_buckets
+
+    cand = None
+    for t in range(n_tables):
+        bk = rhp_lsh_buckets(df, dim, id_col, vec_col, n_planes, seed, t)
+        a = bk.select(F.col(id_col).alias("id_a"), "bucket")
+        b = bk.select(F.col(id_col).alias("id_b"), "bucket")
+        c = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -67,7 +67,23 @@ def _input_fingerprint(df: DataFrame) -> str:
 
     files = sorted(df.inputFiles())
     ident: dict = {"schema": df.schema.json(), "files": files}
-    if not files:
+    if files:
+        # Fold per-file (size, mtime) into the identity so a JSONL/TSV file
+        # overwritten in place under the same name invalidates the resume key
+        # (parquet writers randomize part names, but text sources don't).
+        jvm = df.sparkSession._jvm
+        jsc = df.sparkSession._jsc
+        conf = jsc.hadoopConfiguration()
+        stats = []
+        for f in files:
+            try:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                st = p.getFileSystem(conf).getFileStatus(p)
+                stats.append((st.getLen(), st.getModificationTime()))
+            except Exception:  # non-FS source (e.g. in-memory view path)
+                stats.append(None)
+        ident["stats"] = stats
+    else:
         ident["rows"] = df.count()
     return params_hash(ident)
 
@@ -337,4 +353,10 @@ def run_er_pipeline(
             collect_lineage=False,
         )
     out["_counters"] = mgr.counters  # type: ignore[assignment]
+    # feats is the pipeline's one deliberate bulk cache; hand the caller a
+    # cleanup handle so repeated runs in one session (tests, notebooks,
+    # benchmark loops) don't accumulate cached feature tables. assignment /
+    # metrics are checkpointed stage tables, so unpersisting feats after
+    # they materialize costs nothing on re-reads.
+    out["_cleanup"] = lambda: feats.unpersist()  # type: ignore[assignment]
     return out

@@ -36,6 +36,7 @@ from wiki_entity_linker_spark.operators.closure import (
     transitive_closure,
 )
 from wiki_entity_linker_spark.operators.dedup import (
+    embedding_neardup_lsh_pairs,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_neardup_pairs,
@@ -551,20 +552,22 @@ def name_split(spark, sf_dir):
        mid AS (
          SELECT *, list_filter(p[2:len(p)-1], x -> x <> '') AS m FROM parts)
        SELECT p_partkey,
-              CASE WHEN len(p) > 2 AND
-                        len(list_filter(ne, x -> NOT (upper(x[1]) = x[1]
-                                                 AND lower(x[1]) <> x[1]))) = 0
-                   THEN list_sort(list_distinct([
-                     p[1] || ' ' || p[-1],
-                     p[1] || ' ' || array_to_string(list_transform(m, x -> x[1]), ' ')
-                          || ' ' || p[-1],
-                     p[1] || ' ' || array_to_string(list_transform(m, x -> x[1] || '.'), '')
-                          || ' ' || p[-1],
-                     p[1] || ' ' || array_to_string(list_transform(m, x -> x[1] || '.'), ' ')
-                          || ' ' || p[-1]]))
-                   ELSE [] END AS variants,
-              CASE WHEN name LIKE '%s' THEN [name, substr(name, 1, length(name) - 1)]
-                   ELSE [name] END AS singular
+              coalesce(array_to_string(
+                CASE WHEN len(p) > 2 AND
+                          len(list_filter(ne, x -> NOT (upper(x[1]) = x[1]
+                                                   AND lower(x[1]) <> x[1]))) = 0
+                     THEN list_sort(list_distinct([
+                       p[1] || ' ' || p[-1],
+                       p[1] || ' ' || array_to_string(list_transform(m, x -> x[1]), ' ')
+                            || ' ' || p[-1],
+                       p[1] || ' ' || array_to_string(list_transform(m, x -> x[1] || '.'), '')
+                            || ' ' || p[-1],
+                       p[1] || ' ' || array_to_string(list_transform(m, x -> x[1] || '.'), ' ')
+                            || ' ' || p[-1]]))
+                     ELSE [] END, '|'), '') AS variants,
+              array_to_string(
+                CASE WHEN name LIKE '%s' THEN [name, substr(name, 1, length(name) - 1)]
+                     ELSE [name] END, '|') AS singular
        FROM mid""",
 )
 def name_variants(spark, sf_dir):
@@ -588,8 +591,11 @@ def name_variants(spark, sf_dir):
         .filter(F.col("p_partkey") <= 500)
         .select(
             "p_partkey",
-            middle_name_variants(titled).alias("variants"),
-            singular_variants(titled).alias("singular"),
+            # '|'-joined so the driver's pandas canonicalizer can hash the
+            # cells (it cannot factorize list-valued columns); both sides
+            # sort+dedup first so the serialization is deterministic.
+            F.array_join(middle_name_variants(titled), "|").alias("variants"),
+            F.array_join(singular_variants(titled), "|").alias("singular"),
         )
     )
 
@@ -899,19 +905,56 @@ def embedding_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "cos", F.col("rank").alias("rnk"))
 
 
-@q(
-    "embedding_neardup",
-    """SELECT id_a, id_b, cos FROM
-         (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                              b.embedding::DOUBLE[]), 6) AS cos
-          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-       WHERE cos >= 0.4""",
-)
+def _neardup_lsh_oracle(
+    dim: int, thr: float, n_planes: int, n_tables: int, seed: int = 42
+) -> str:
+    """DuckDB mirror of embedding_neardup_lsh_pairs: the SAME seeded numpy
+    plane literals → bucket self-join → distinct pairs → exact-cosine verify,
+    so the bucketed scale path itself is deterministically oracle-checked
+    (same approach as _lsh_oracle below)."""
+    import numpy as np
+
+    def bucket_expr(t: int) -> str:
+        rng = np.random.RandomState(seed * 1000 + t)
+        planes = rng.standard_normal((n_planes, dim))
+        terms = [
+            f"CASE WHEN list_dot_product(e, [{','.join(repr(float(x)) for x in pl)}])"
+            f" >= 0 THEN {1 << i} ELSE 0 END"
+            for i, pl in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, 't{t}:' || CAST({bucket_expr(t)} AS VARCHAR) AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return f"""
+       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       vb AS ({buckets}),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM vb a JOIN vb b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       scored AS (SELECT id_a, id_b,
+                         round(list_cosine_similarity(va.e, wb.e), 6) AS cos
+                  FROM cand JOIN v va ON cand.id_a = va.vec_id
+                            JOIN v wb ON cand.id_b = wb.vec_id)
+       SELECT id_a, id_b, cos FROM scored WHERE cos >= {thr}"""
+
+
+@q("embedding_neardup", _neardup_lsh_oracle(dim=64, thr=0.4, n_planes=6, n_tables=3))
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs."""
-    return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    """Embedding-cosine near-duplicate pairs — the bucketed RHP-LSH scale
+    path (no cross join in the physical plan; see tests/test_plans.py).
+    The brute-force baseline (embedding_neardup_pairs) remains as the
+    small-n parity test in tests/test_dedup.py."""
+    return embedding_neardup_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+        n_planes=6,
+        n_tables=3,
     )
 
 

@@ -59,7 +59,9 @@ def with_line_index(df: DataFrame, idx_col: str = "article_idx") -> DataFrame:
     for benchmark-scale inputs where order IS the join key, not for bulk
     tables.
     """
-    schema = df.schema.add(idx_col, T.LongType())
+    # build a fresh StructType — StructType.add mutates the DataFrame's
+    # cached schema in place (DataFrame.schema is a cached_property in 4.x)
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(idx_col, T.LongType())])
     rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
     return df.sparkSession.createDataFrame(rdd, schema)
 
