@@ -203,7 +203,7 @@ def test_prediction_format_dispatch(spark, tmp_path):
         assert (r["article_idx"], list(r["span"]), r["entity_id"]) == (0, [5, 10], "Q7"), fmt
         assert r["linked_by"] == fmt
     with pytest.raises(ValueError, match="unknown prediction format"):
-        read_predictions(spark, str(tsv), "nif")
+        read_predictions(spark, str(tsv), "nif-rdf-2.1")
 
 
 def test_jsonl_sink_roundtrip(spark, tmp_path):
@@ -237,3 +237,33 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     assert row["hyperlinks"][0]["target"] == "T1"
     assert list(row["hyperlinks"][0]["span"]) == [0, 4]
     assert back.select(F.explode("labels")).count() == 20
+
+
+def test_nif_prediction_reader(spark):
+    """NIF turtle → MENTION_SCHEMA: context blocks define article order,
+    mentions join via referenceContext, QIDs extracted from taIdentRef."""
+    import os
+
+    sample = os.path.join(os.path.dirname(__file__), "data", "sample.nif.ttl")
+    rows = (
+        read_predictions(spark, sample, "nif")
+        .orderBy("article_idx", F.element_at("span", 1))
+        .collect()
+    )
+    got = [(r["article_idx"], list(r["span"]), r["entity_id"]) for r in rows]
+    assert got == [
+        (0, [0, 8], "Q13909"),
+        (0, [21, 24], "Q167498"),
+        (1, [0, 6], "Q64"),
+    ]
+    assert all(r["linked_by"] == "nif" for r in rows)
+
+
+def test_prediction_dispatch_covers_all_reference_formats(spark):
+    """6/6 of the reference's file-based prediction formats dispatch
+    (linking_system.py:84-153; the NIF HTTP API path is out of scope)."""
+    from wiki_entity_linker_spark.sources.predictions import _READERS
+
+    assert set(_READERS) == {
+        "article-jsonl", "simple-jsonl", "ambiverse", "wikifier", "tsv", "nif",
+    }

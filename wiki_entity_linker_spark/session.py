@@ -14,6 +14,67 @@ import os
 from pyspark.sql import SparkSession
 
 
+def cluster_conf_profile(
+    executor_cores: int = 8,
+    executors: int = 1000,
+    executor_mem_gb: int = 32,
+) -> dict[str, str]:
+    """spark-submit conf profile for the 100 TB / multi-executor target
+    (SURVEY §2.10 X3). Returns ``--conf`` key/values; rationale per knob:
+
+    - ``shuffle.partitions = 3 × total cores``: the pair/score stages
+      shuffle ~TBs; 3× cores keeps every wave busy while holding partition
+      size near shuffle-efficient 128-512 MB at 100 TB (AQE coalesces the
+      small tail).
+    - ``adaptive.* on``: runtime skew-join splitting is the backstop for
+      hot blocks the static salting misses; coalescing trims the empty
+      partitions the 3× over-provision creates.
+    - ``autoBroadcastJoinThreshold = 256m``: the alias dictionary and
+      block-frequency tables are ≤ hundreds of MB at 10¹² files; broadcast
+      beats shuffling the 100 TB fact side every time.
+    - ``files.maxPartitionBytes = 256m``: scan granularity for a parquet
+      source at this scale — big enough to amortize task overhead across
+      ~10⁶ input splits, small enough for executor-memory headroom.
+    - ``adaptive.advisoryPartitionSizeInBytes = 256m``: AQE re-coalesce
+      target aligned with the scan granularity.
+    - ``memory.fraction = 0.8 / storageFraction = 0.3``: execution-heavy
+      workload (one deliberate cache: the per-doc feature table); most of
+      unified memory goes to shuffle/aggregation.
+    - ``arrow.maxRecordsPerBatch = 4096``: the scoring UDFs carry int64
+      feature arrays of ~100-1000 elements per row; 4k rows/batch bounds
+      per-batch memory at a few hundred MB while keeping numpy kernels hot.
+    - ``speculation on``: at 1000 executors stragglers (bad disk, hot node)
+      dominate p99 stage time; re-launching the slowest 10% is cheap.
+    - ``maxResultSize = 4g``: the driver only ever collects counters and
+      small cluster summaries; 4g is a guard, not a workload budget.
+    - ``shuffle.file.buffer / io.compression.codec zstd``: fewer, better-
+      compressed spill files at TB-scale shuffles.
+    """
+    total_cores = executor_cores * executors
+    return {
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.instances": str(executors),
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.memory.fraction": "0.8",
+        "spark.memory.storageFraction": "0.3",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        "spark.speculation": "true",
+        "spark.speculation.quantile": "0.9",
+        "spark.driver.maxResultSize": "4g",
+        "spark.shuffle.file.buffer": "1m",
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 def get_spark(
     app_name: str = "wiki_entity_linker_spark",
     cores: int | None = None,

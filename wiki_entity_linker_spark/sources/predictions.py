@@ -30,7 +30,13 @@ Formats:
   [{"chFrom": s, "chTo": e}]}]}`` (end char INCLUSIVE → half-open +1);
 * ``tsv``           — flat ``article_idx \\t start \\t end \\t entity_id``.
 
-NIF (RDF) is excluded like the reference's HTTP/NIF path (SURVEY §2.1 S10).
+* ``nif``           — NIF 2.0 turtle: blank-line-separated subject blocks;
+  ``nif:Context`` blocks define article order, mention blocks join via
+  ``nif:referenceContext`` (minimal recast of elevant's NifPredictionReader,
+  dispatched at linking_system.py:145-150).
+
+The reference's NIF **HTTP API** path (api_linker.py) stays excluded
+(SURVEY §2.1 S10 — serving, not data processing).
 """
 
 from __future__ import annotations
@@ -219,12 +225,59 @@ def _read_tsv_predictions(spark: SparkSession, path: str) -> DataFrame:
     return _finish(m, "tsv")
 
 
+def _read_nif(spark: SparkSession, path: str) -> DataFrame:
+    """Minimal line-oriented NIF 2.0 turtle reader (the reference dispatches
+    NIF through its elevant dependency's NifPredictionReader,
+    linking_system.py:145-150; this recast parses the same core triples
+    without an RDF library).
+
+    The dump is read as blank-line-separated turtle blocks
+    (``lineSep="\\n\\n"`` — the block-per-subject layout NIF exporters
+    emit). ``nif:Context`` blocks define article order (zip-by-index over
+    their file order); mention blocks carry ``nif:beginIndex`` /
+    ``nif:endIndex`` / ``itsrdf:taIdentRef`` and join to their context via
+    ``nif:referenceContext``. Both prefixed (``nif:beginIndex``) and
+    full-URI (``...nif-core#beginIndex>``) spellings are accepted.
+    """
+    blocks = spark.read.text(path, lineSep="\n\n").filter(F.col("value") != "")
+    subject = F.regexp_extract("value", r"<([^>]+)>", 1)
+    is_context = F.col("value").rlike(r"(nif:isString|nif-core#isString|a\s+nif:Context|nif-core#Context>)")
+    contexts = with_line_index(
+        blocks.filter(is_context).select(subject.alias("ctx_uri")), "article_idx"
+    )
+    mentions = blocks.filter(
+        F.col("value").rlike(r"(itsrdf:taIdentRef|its/rdf#taIdentRef)")
+    ).select(
+        F.regexp_extract("value", r'beginIndex[^"]*"([0-9]+)"', 1)
+        .cast("long")
+        .alias("start"),
+        F.regexp_extract("value", r'endIndex[^"]*"([0-9]+)"', 1)
+        .cast("long")
+        .alias("end"),
+        F.regexp_extract("value", r"taIdentRef[^<]*<[^>]*?(Q[0-9]+)>", 1).alias(
+            "entity_id"
+        ),
+        F.regexp_extract("value", r"referenceContext[^<]*<([^>]+)>", 1).alias(
+            "ctx_uri"
+        ),
+    )
+    # contexts ≪ mentions (one row per article) → broadcast the dim side
+    m = mentions.join(F.broadcast(contexts), "ctx_uri").select(
+        "article_idx",
+        F.array("start", "end").alias("span"),
+        "entity_id",
+        F.lit(None).cast("array<string>").alias("candidates"),
+    )
+    return _finish(m, "nif")
+
+
 _READERS = {
     "article-jsonl": _read_article_jsonl,
     "simple-jsonl": _read_simple_jsonl,
     "ambiverse": _read_ambiverse,
     "wikifier": _read_wikifier,
     "tsv": _read_tsv_predictions,
+    "nif": _read_nif,
 }
 
 
