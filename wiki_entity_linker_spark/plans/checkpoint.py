@@ -63,6 +63,18 @@ class IcebergStore:
     :meth:`available` to pick a store at runtime. Each stage becomes the
     table ``<catalog>.<namespace>.<name>`` — atomic replace, snapshot
     history and partition metadata come from the Iceberg spec itself.
+
+    SANDBOX STATUS: shape-tested only (tests/test_checkpoint_store.py). The
+    iceberg-spark-runtime jar is not in this container and there is no
+    network access to fetch it, so this store has never run against a real
+    catalog here. To exercise it on a cluster::
+
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+          --conf spark.sql.catalog.er=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.er.type=hadoop \\
+          --conf spark.sql.catalog.er.warehouse=<path> ...
+
+    then pass ``store=IcebergStore("er")`` to ``run_er_pipeline``.
     """
 
     def __init__(self, catalog: str, namespace: str = "er_stages"):
