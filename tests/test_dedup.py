@@ -114,3 +114,32 @@ def test_embedding_neardup_lsh_parity_vs_brute_force(spark):
     assert lsh <= brute  # exact verify ⇒ no false positives
     assert (0, 1) in lsh  # planted near-identical pair always collides
     assert len(lsh) / max(len(brute), 1) >= 0.6  # recall at 4 planes × 6 tables
+
+
+def test_ivf_topk_trained_centroids_recall(spark):
+    """IVF with Lloyd-trained centroids: cells partition the corpus exactly
+    once, every query finds itself, and probing nprobe cells recovers most
+    of the exact top-k (the production path; the registered query uses
+    seeded centroids only so its oracle stays static)."""
+    from wiki_entity_linker_spark.operators.ann import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    df = _vec_df(spark, n=120, dim=8)
+    cent = train_ivf_centroids(df, dim=8, n_centroids=6, train_limit=120, seed=5)
+    assert len(cent) == 6 and all(len(c) == 8 for c in cent)
+    # assignment is a partition: one cell per vector
+    assign = ivf_assign(df, cent)
+    assert assign.count() == 120
+    assert assign.select("vec_id").distinct().count() == 120
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(df, queries, k=3)
+    approx = ivf_topk(df, queries, cent, k=3, nprobe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert all((q, q) in a for q in range(8))
+    assert len(e & a) / len(e) >= 0.5

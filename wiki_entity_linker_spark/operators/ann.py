@@ -122,3 +122,123 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("__cos_raw", 6).alias("cos"), "rank")
     )
+
+
+def seeded_centroids(dim: int, n_centroids: int, seed: int = 42) -> list[list[float]]:
+    """Data-independent coarse-quantizer centroids from a seeded RNG.
+
+    A random-center Voronoi partition is a legitimate IVF coarse quantizer
+    (lower recall per probe than k-means-trained centers, same structure);
+    because it is data-independent it can be embedded verbatim into the
+    DuckDB oracle, making the whole IVF path deterministically checkable —
+    the same trick as the RHP-LSH plane literals above.
+    """
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_centroids, dim))]
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 1024,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means on a bounded driver-side training slice.
+
+    IVF coarse-quantizer training is an offline, sampled step even at 10⁹
+    vectors (the index ASSIGNMENT below is the distributed part); the slice
+    is ``ORDER BY id LIMIT train_limit`` so the result is reproducible, and
+    the numpy loop is exact Lloyd with empty-cluster carry-over.
+    """
+    rows = df.orderBy(id_col).limit(train_limit).select(vec_col).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for j in range(n_centroids):
+            if (a == j).any():
+                C[j] = X[a == j].mean(0)
+    return [[float(x) for x in row] for row in C]
+
+
+def _cell_structs(vec_col: str, centroids: list[list[float]]) -> list:
+    """(squared-L2-distance, centroid-index) structs, all JVM-side column
+    math: ``|v|² - 2·v·c + |c|²`` with |c|² folded to a literal."""
+    vnorm = dot(F.col(vec_col), F.col(vec_col))
+    out = []
+    for j, c in enumerate(centroids):
+        clit = F.array(*[F.lit(x) for x in c])
+        cn = float(sum(x * x for x in c))
+        d = vnorm - 2 * dot(F.col(vec_col), clit) + F.lit(cn)
+        out.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ ``(id, cell)`` — each vector's nearest centroid (struct array_min:
+    ties break to the lowest centroid index, deterministically)."""
+    cells = _cell_structs(vec_col, centroids)
+    return df.select(
+        F.col(id_col), F.array_min(F.array(*cells))["j"].alias("cell")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe each query's ``nprobe`` nearest cells,
+    exact-cosine re-rank only the vectors indexed there.
+
+    Scale shape: assignment is one JVM-side pass over the corpus (shuffle on
+    ``cell`` only at the candidate join); each cell holds ~n/n_centroids
+    vectors, so per-query work drops by ``n_centroids / nprobe`` vs brute
+    force. Skewed cells (seeded random centroids don't balance like trained
+    ones) are the operator's known weakness — train with
+    :func:`train_ivf_centroids` in production, or salt hot cells.
+    """
+    va = ivf_assign(vectors, centroids, id_col, vec_col)
+    qcells = _cell_structs(query_vec_col, centroids)
+    qa = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.slice(F.array_sort(F.array(*qcells)), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", F.col("probe.j").alias("cell"))
+    # each vector lives in exactly one cell → the probe join cannot duplicate
+    cand = va.join(qa, "cell").select("query_id", id_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("vv"))
+    scored = (
+        cand.join(v, id_col)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", id_col, cosine("qv", "vv").alias("__cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos_raw").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("__cos_raw", 6).alias("cos"), "rank")
+    )

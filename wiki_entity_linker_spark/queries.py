@@ -1089,6 +1089,60 @@ def _lsh_oracle(dim: int, k: int, n_planes: int, n_tables: int, seed: int = 42) 
        FROM ranked WHERE rnk <= {k}"""
 
 
+def _ivf_oracle(dim: int, k: int, n_centroids: int, nprobe: int, seed: int = 7) -> str:
+    """DuckDB mirror of ivf_topk with the SAME seeded centroid literals:
+    cell assignment (lexicographic (distance, index) min — identical
+    tie-break to Spark's struct array_min), nprobe probing and exact-cosine
+    re-rank are all replicated, so the IVF path is deterministically
+    oracle-checked like the LSH paths."""
+    from wiki_entity_linker_spark.operators.ann import seeded_centroids
+
+    values = ", ".join(
+        f"({j}, [{','.join(repr(x) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(seeded_centroids(dim, n_centroids, seed))
+    )
+    dist = "list_dot_product(e, e) - 2 * list_dot_product(e, c) + list_dot_product(c, c)"
+    return f"""
+       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id < 10),
+       cent AS (SELECT * FROM (VALUES {values}) t(j, c)),
+       va AS (SELECT vec_id, CAST(min([{dist}, j::DOUBLE])[2] AS BIGINT) AS cell
+              FROM v CROSS JOIN cent GROUP BY vec_id),
+       qr AS (SELECT query_id, j, row_number() OVER (
+                  PARTITION BY query_id ORDER BY {dist}, j) AS rn
+              FROM q CROSS JOIN cent),
+       qa AS (SELECT query_id, j AS cell FROM qr WHERE rn <= {nprobe}),
+       cand AS (SELECT qa.query_id, va.vec_id FROM va JOIN qa USING (cell)),
+       scored AS (SELECT c.query_id, c.vec_id,
+                         list_cosine_similarity(q.e, v.e) AS cs
+                  FROM cand c JOIN v ON c.vec_id = v.vec_id
+                              JOIN q ON c.query_id = q.query_id),
+       ranked AS (SELECT query_id, vec_id, cs,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cs DESC, vec_id) AS rnk
+                  FROM scored)
+       SELECT query_id, vec_id, round(cs, 6) AS cos, rnk AS rank
+       FROM ranked WHERE rnk <= {k}"""
+
+
+@q("ann_ivf_topk", _ivf_oracle(dim=64, k=5, n_centroids=16, nprobe=4))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors (second scale path next to
+    ann_lsh_topk): seeded-centroid Voronoi cells, nprobe probing,
+    exact-cosine re-rank — every step replicated in the oracle. Production
+    indexes train the centroids (train_ivf_centroids); the registered query
+    uses data-independent seeded centroids so the oracle stays static."""
+    from wiki_entity_linker_spark.operators.ann import ivf_topk, seeded_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = seeded_centroids(64, 16, seed=7)
+    return ivf_topk(emb, queries, cent, k=5, nprobe=4)
+
+
 @q("ann_lsh_topk", _lsh_oracle(dim=64, k=5, n_planes=6, n_tables=3))
 def ann_lsh_topk(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH (scale path
