@@ -20,6 +20,7 @@ from wiki_entity_linker_spark.operators.blocking import (
     minhash_signatures,
     pairs_from_blocks,
 )
+from wiki_entity_linker_spark.operators.skew import spread_small_input
 
 
 def exact_dedup(
@@ -32,7 +33,9 @@ def exact_dedup(
     create_abstracts_mapping.py:28-38 made deterministic).
     """
     c = normalize_content(content_col) if normalized else F.col(content_col)
-    hashed = df.select(F.col(id_col), F.sha2(c, 256).alias("content_hash"))
+    hashed = spread_small_input(df).select(
+        F.col(id_col), F.sha2(c, 256).alias("content_hash")
+    )
     w = Window.partitionBy("content_hash")
     return hashed.select(
         id_col,
@@ -56,6 +59,7 @@ def minhash_neardup_pairs(
     shingle → minhash → band → bucket self-join → exact-Jaccard filter:
     → ``(id_a, id_b, jaccard)``.
     """
+    df = spread_small_input(df)
     toks = df.select(
         F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
     )
@@ -85,7 +89,9 @@ def simhash(
     for a token is bit ``i`` of ``h64(token)``; duplicate tokens weight by
     multiplicity. Pure explode + groupBy with ``bits`` sum aggregates.
     """
-    tok = df.select(F.col(id_col), F.explode(tokenize(content_col)).alias("t"))
+    tok = spread_small_input(df).select(
+        F.col(id_col), F.explode(tokenize(content_col)).alias("t")
+    )
     tok = tok.withColumn("h", h64("t"))
     aggs = [
         F.sum(
@@ -156,10 +162,17 @@ def ngram_jaccard_pairs(
     the posting-list join is bounded at ``max_doc_freq²`` rows per gram.
     Pass ``max_doc_freq=None`` to disable (exact textbook Jaccard).
     """
-    grams = df.select(
-        F.col(id_col).alias("id"), shingles(tokenize(content_col), n).alias("g")
+    src = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
     )
-    inv = grams.select("id", F.explode("g").alias("gram"))
+    grams = src.select("id", shingles(tokenize("content"), n).alias("g"))
+    # int64-hash the gram join key: the inverted index is shuffled three
+    # times (df-count, sizes, self-join) — 8-byte keys instead of n-token
+    # strings; Jaccard is over distinct-gram counts, which xxhash64
+    # preserves (within-doc collision odds ~|g|²/2⁶⁵)
+    inv = grams.select("id", F.explode("g").alias("gs")).select(
+        "id", F.xxhash64("gs").alias("gram")
+    )
     if max_doc_freq is not None:
         # the HOT list is tiny by construction → broadcast anti-join
         hot = (

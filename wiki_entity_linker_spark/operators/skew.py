@@ -100,3 +100,20 @@ def cap_and_salt_blocks(
     return sized.select(
         id_col, F.explode(_salted_keys(id_col, block_col, cap)).alias(block_col)
     )
+
+
+def spread_small_input(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
+    """Repartition an under-partitioned source across the session's cores.
+
+    Small parquet files read as ONE split (everything under
+    ``spark.sql.files.maxPartitionBytes``), which serializes every
+    CPU-heavy expression downstream — tokenize/shingle scans showed 3×
+    wall-time regressions from this at bench scale. A well-split source is
+    returned untouched: at 100 TB the scan is already parallel and a
+    full-content repartition would move every byte for nothing (same guard
+    as the ER pipeline ingest, plans/er_pipeline.py).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(n * min_factor)):
+        return df.repartition(n)
+    return df
