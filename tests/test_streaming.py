@@ -63,3 +63,50 @@ def test_incremental_block_stream(spark, tiny_corpus_dir, tmp_path):
     q2 = incremental_block_stream(spark, src_dir, out_dir, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out_dir).count() == n_files * 8
+
+
+def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen filter: the first micro-batch
+    carrying a key emits its min-id representative; later batches are
+    suppressed (state persists across batches)."""
+    import json as _json
+
+    from wiki_entity_linker_spark.streaming.events import streaming_first_seen
+
+    stream_dir = str(tmp_path / "dedup_stream")
+    os.makedirs(stream_dir)
+    schema = "content_hash string, file_id string"
+
+    def drop(name, rows):
+        with open(os.path.join(stream_dir, name), "w") as f:
+            for h, i in rows:
+                f.write(_json.dumps({"content_hash": h, "file_id": i}) + "\n")
+
+    # batch 1: A (two members -> min id wins), B
+    drop("b1.jsonl", [("A", "f2"), ("A", "f1"), ("B", "f3")])
+    stream = spark.readStream.schema(schema).json(stream_dir)
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("first_seen_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r["content_hash"], r["file_id"], r["n_dupes_prior"])
+            for r in spark.sql("SELECT * FROM first_seen_out").collect()
+        }
+        assert got1 == {("A", "f1", 1), ("B", "f3", 0)}
+        # batch 2: A again (suppressed), C (new)
+        drop("b2.jsonl", [("A", "f9"), ("C", "f4")])
+        q.processAllAvailable()
+        got2 = {
+            (r["content_hash"], r["file_id"], r["n_dupes_prior"])
+            for r in spark.sql("SELECT * FROM first_seen_out").collect()
+        }
+        assert got2 == got1 | {("C", "f4", 0)}
+    finally:
+        q.stop()

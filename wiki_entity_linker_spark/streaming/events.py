@@ -85,3 +85,66 @@ def incremental_block_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_first_seen(
+    files: DataFrame,
+    key_col: str = "content_hash",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Custom stateful operator: per-key FIRST-SEEN filter over a stream
+    (``applyInPandasWithState``) — the streaming form of exact dedup.
+
+    Each key (content hash) keeps one long of state: how many rows it has
+    absorbed. The first micro-batch that carries a key emits that key's
+    deterministic representative (min ``id_col`` within the batch — the
+    same first-writer-wins tie-break as the batch ``exact_dedup``); every
+    later occurrence is suppressed but counted, so the emitted
+    ``n_dupes_prior`` records how much duplicate volume the stream had
+    absorbed when the representative was chosen.
+
+    State is O(distinct keys); at 10¹² files shard the stream by hash
+    prefix and run one query per shard, or age keys out with an event-time
+    timeout — the operator itself is shard-oblivious.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(id_col, T.StringType()),
+            T.StructField("n_dupes_prior", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def first_seen(key, pdf_iter, state):
+        n = 0
+        best = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            m = pdf[id_col].min()
+            if best is None or m < best:
+                best = m
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return iter(())
+        state.update((n,))
+        return iter(
+            (
+                pd.DataFrame(
+                    {key_col: [key[0]], id_col: [best], "n_dupes_prior": [n - 1]}
+                ),
+            )
+        )
+
+    return files.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
