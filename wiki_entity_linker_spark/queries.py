@@ -5,10 +5,11 @@ The driver runs each Spark query and its oracle SQL side-by-side on the same
 parquet tables and compares row count + schema + order-insensitive value
 hash, so every computed column is aliased identically on both sides, every
 double is rounded on both sides, and every hash is the portable md5-derived
-``h64`` family (functions/hashing.py). Queries whose semantics are not
-SQL-expressible (greedy overlap suppression, LSH ANN with generated plane
-literals, the full ER pipeline) carry ``None`` and get the driver's
-rows-only check.
+``h64`` family (functions/hashing.py). As of round 3 EVERY registered query
+carries a value-checked oracle — including the probabilistic paths (LSH /
+IVF ANN via data-independent seeded literals embedded in the SQL), the full
+ER composite (band-exact + recursive-CTE connected components) and greedy
+overlap suppression (recursive-CTE fixpoint carrying chosen-set list state).
 """
 
 from __future__ import annotations
@@ -1031,11 +1032,48 @@ def doc_fingerprint(spark, sf_dir):
 # Non-SQL-expressible operators → rows-only driver check
 # ===========================================================================
 
-@q("suppress_overlaps_spans", None)
+@q(
+    "suppress_overlaps_spans",
+    """WITH RECURSIVE src AS (
+         SELECT user_id % 50 AS doc_id,
+                event_id % 97 AS s,
+                event_id % 97 + event_id % 7 + 1 AS e
+         FROM events WHERE event_id < 2000),
+       spans AS (SELECT DISTINCT doc_id, s, e FROM src),
+       st AS (
+         -- greedy longest-first claiming as an iterated fixpoint: each
+         -- round appends the doc's top-priority (len DESC, start ASC) span
+         -- that overlaps nothing chosen so far; rows carry the chosen set
+         -- as list state because the recursive term only sees the previous
+         -- round's rows. Picks are strictly priority-decreasing per doc, so
+         -- this converges to exactly the sequential greedy set.
+         SELECT doc_id, CAST([] AS STRUCT(s BIGINT, e BIGINT)[]) AS chosen,
+                0 AS depth
+         FROM (SELECT DISTINCT doc_id FROM spans)
+         UNION ALL
+         SELECT doc_id, chosen || [{'s': p.s, 'e': p.e}], depth + 1
+         FROM (
+           SELECT st.doc_id, st.chosen, st.depth,
+                  min({'neg_len': sp.s - sp.e, 'start': sp.s,
+                       's': sp.s, 'e': sp.e}) AS p
+           FROM st JOIN spans sp ON sp.doc_id = st.doc_id
+           WHERE len(list_filter(st.chosen,
+                                 c -> sp.s < c.e AND c.s < sp.e)) = 0
+           GROUP BY st.doc_id, st.chosen, st.depth
+         ) st
+       ),
+       final AS (SELECT doc_id, max_by(chosen, depth) AS chosen
+                 FROM st GROUP BY doc_id)
+       SELECT doc_id, u.s AS start, u.e AS "end"
+       FROM (SELECT doc_id, unnest(chosen) AS u FROM final)""",
+)
 def suppress_overlaps_spans(spark, sf_dir):
     """W1 longest-match-first span claiming
-    (hyperlink_reference_linker.py:160-215) — greedy/sequential per doc, not
-    SQL-expressible; covered by unit tests against a Python reference."""
+    (hyperlink_reference_linker.py:160-215) — greedy/sequential per doc; the
+    oracle replicates it as a recursive-CTE fixpoint carrying the chosen set
+    as list state (struct-min gives the same (len DESC, start ASC) priority
+    and per-round one-pick-per-doc equals sequential greedy because
+    eligibility only shrinks). Also unit-tested vs a Python reference."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     spans_df = e.select(
         (F.col("user_id") % 50).alias("doc_id"),
