@@ -69,3 +69,31 @@ def test_transitive_closure_cycle_and_chain(spark):
             ("c", "d"), ("c", "e"), ("d", "e"),
             ("x", "y"), ("y", "x")}
     assert got == want
+
+
+def test_cc_local_solve_matches_distributed(spark):
+    """The CC-MR hybrid (driver union-find under the edge threshold) must
+    produce byte-identical labels to the fully distributed loop, on string
+    and long ids, including the mid-loop cutover."""
+    cases = [
+        ("id_a string, id_b string",
+         [("a", "b"), ("b", "c"), ("x", "y"), ("m", "n"), ("n", "o"), ("o", "m")]),
+        ("id_a bigint, id_b bigint",
+         [(i + 1, i) for i in range(60)] + [(100, 200), (201, 200)]),
+    ]
+    for schema, edges in cases:
+        df = spark.createDataFrame(edges, schema)
+        dist = {(r["id"], r["component"])
+                for r in connected_components(df).collect()}
+        # threshold larger than the edge set → immediate local solve
+        local = {(r["id"], r["component"])
+                 for r in connected_components(
+                     df, local_solve_threshold=10_000).collect()}
+        assert local == dist, schema
+        # threshold hit only after contraction rounds (mid-loop cutover):
+        # the 60-edge chain shrinks below 30 edges after a round or two
+        if "bigint" in schema:
+            mid = {(r["id"], r["component"])
+                   for r in connected_components(
+                       df, local_solve_threshold=30).collect()}
+            assert mid == dist

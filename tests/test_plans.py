@@ -85,3 +85,14 @@ def test_embedding_neardup_plan_is_bucketed(spark, sf001):
     plan = _plan(embedding_neardup(spark, sf001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_plans_are_bucketed(spark, sf001):
+    """Both approximate-NN paths must block before scoring: the only
+    cross join allowed is the broadcast of the tiny query side onto its
+    candidate set — never corpus × corpus."""
+    from wiki_entity_linker_spark.queries import ann_ivf_topk, ann_lsh_topk
+
+    for fn in (ann_ivf_topk, ann_lsh_topk):
+        plan = _plan(fn(spark, sf001))
+        assert "CartesianProduct" not in plan, fn.__name__

@@ -85,12 +85,54 @@ class _scoped_shuffle_partitions:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _local_union_find(spark, e: DataFrame) -> DataFrame:
+    """Finish a (bounded) edge set on the driver: union-find with path
+    compression, components labeled by min member — identical output
+    contract to the distributed loop (members + roots, one row per node
+    appearing in the edge set)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    pdf = e.select("u", "v").toPandas()  # Arrow transfer, one job
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the final find walk ends at the min id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(x, find(x)) for x in list(parent)] + [
+        (r, r) for r in set(parent.values()) if parent.get(r, r) == r
+    ]
+    # roots that never appear as a key (only ever targets)
+    all_nodes = set(parent)
+    roots = {find(x) for x in parent}
+    rows += [(r, r) for r in roots - all_nodes]
+    rows = sorted(set(rows))
+    out_schema = (
+        "id " + e.schema["u"].dataType.simpleString()
+        + ", component " + e.schema["v"].dataType.simpleString()
+    )
+    out = pd.DataFrame(rows, columns=["id", "component"])
+    return spark.createDataFrame(out, out_schema)  # Arrow path back up
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     shuffle_partitions: int | None = None,
+    local_solve_threshold: int = 0,
 ) -> DataFrame:
     """→ ``(id, component)`` where component = min node id of the component.
 
@@ -98,6 +140,15 @@ def connected_components(
     (left-join the result and coalesce to the node's own id).
     ``shuffle_partitions``: scoped override for small graphs (see
     :class:`_scoped_shuffle_partitions`).
+
+    ``local_solve_threshold``: when > 0 and the canonical edge set (checked
+    before the loop and after every contraction round) fits under it, the
+    remaining graph is finished on the driver with union-find — the CC-MR
+    hybrid: star-contraction shrinks the edge set geometrically, so the tail
+    rounds are pure task-dispatch latency on data that fits in one process.
+    At 2M edges the collect is ~32 MB; each avoided round saves 2 shuffles +
+    a checkpoint + a stats job. 0 (the default, and what the registered
+    oracle queries use) keeps the loop fully distributed to convergence.
     """
     def _stats(d: DataFrame) -> tuple:
         """Cheap set fingerprint: (count, sum of row hashes) in ONE job —
@@ -109,14 +160,19 @@ def connected_components(
         ).collect()[0]
         return (r["n"], r["h"])
 
+    spark = edges.sparkSession
     converged = False
-    with _scoped_shuffle_partitions(edges.sparkSession, shuffle_partitions):
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
         e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
         prev = _stats(e)
+        if local_solve_threshold and prev[0] <= local_solve_threshold:
+            return _local_union_find(spark, e)
         for _ in range(max_iter):
             e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
             cur = _stats(e2)
             e = e2
+            if local_solve_threshold and cur[0] <= local_solve_threshold:
+                return _local_union_find(spark, e)
             if cur == prev:
                 converged = True
                 break
@@ -143,9 +199,12 @@ def components_with_singletons(
     nodes: DataFrame, edges: DataFrame, id_col: str = "file_id",
     src: str = "id_a", dst: str = "id_b", max_iter: int = 20,
     shuffle_partitions: int | None = None,
+    local_solve_threshold: int = 0,
 ) -> DataFrame:
     """All nodes labeled: edge components + singletons as their own id."""
-    comp = connected_components(edges, src, dst, max_iter, shuffle_partitions)
+    comp = connected_components(
+        edges, src, dst, max_iter, shuffle_partitions, local_solve_threshold
+    )
     return (
         nodes.select(F.col(id_col).alias("id"))
         .dropDuplicates(["id"])

@@ -98,6 +98,12 @@ class ERConfig:
     stopword_block_max: int = 20000
     salt_cap: int = 64
     max_cc_iter: int = 20
+    # CC-MR hybrid cutover: star-contraction shrinks the match-edge graph
+    # geometrically; once it fits under this many edges (~32 MB collected)
+    # the driver finishes it with union-find instead of paying 2 shuffles +
+    # a checkpoint + a stats job per residual round. 0 disables (fully
+    # distributed to convergence).
+    cc_local_solve_threshold: int = 2_000_000
     extra: dict = field(default_factory=dict)
 
 
@@ -315,6 +321,7 @@ def run_er_pipeline(
             edges,
             id_col="file_id",
             max_iter=cfg.max_cc_iter,
+            local_solve_threshold=cfg.cc_local_solve_threshold,
         ),
     )
 
