@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wiki_entity_linker_spark.functions.hashing import h64_sql, mh_family, mh_mix_sql
-from wiki_entity_linker_spark.functions.similarity import token_jaccard
 from wiki_entity_linker_spark.functions.text import (
     lang_id,
     lang_marker_hits,
@@ -38,7 +37,6 @@ from wiki_entity_linker_spark.operators.closure import (
 )
 from wiki_entity_linker_spark.operators.dedup import (
     embedding_neardup_lsh_pairs,
-    embedding_neardup_pairs,
     exact_dedup,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
