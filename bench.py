@@ -81,6 +81,7 @@ def run_headline(sf_dir: str, cpus: int | None, repeats: int = 2) -> dict:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_per_query": repeats,
+        "protocol": f"sum_of_best_of_{repeats}",  # r1/r2 were single-shot wall
         "wall": wall,
         "host_load_before": round(load_before, 2),
         "host_load_after": round(_loadavg(), 2),

@@ -89,3 +89,27 @@ def test_frame_sample(spark):
     got = frames.collect()
     assert all(r["frame_idx"] % 10 == 0 for r in got)
     assert len({r["media_id"] for r in got}) == 4  # every 3rd row is video
+
+
+def test_wav_malformed_degrades_to_none():
+    """Corrupt RIFF buffers must return None (fallback path), never raise —
+    one bad file cannot kill the extract_features stage."""
+    rng = np.random.RandomState(2)
+    good = make_wav_pcm16(64, 8000, rng)
+    # declared data size beyond the buffer with an odd remainder
+    bad_data = good[:40] + b"data" + (100).to_bytes(4, "little") + b"\x01" * 33
+    # truncated fmt chunk
+    bad_fmt = (b"RIFF" + (38).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (14).to_bytes(4, "little") + b"\x01" * 14
+               + b"data" + (4).to_bytes(4, "little") + b"\x00" * 4)
+    from wiki_entity_linker_spark.operators.multimodal import _decode_any
+
+    # structurally-invalid fmt → None
+    assert decode_wav_pcm16(bad_fmt) is None
+    # data chunks whose declared size overruns the buffer (odd or empty
+    # remainder) degrade to clamped even-length samples — and must not raise
+    for buf in (bad_data, good[:45]):
+        got = decode_wav_pcm16(buf)  # no exception is the contract
+        assert got is None or isinstance(got[1], int)
+    for buf in (bad_data, bad_fmt, good[:45]):
+        assert len(_decode_any(buf)) == 4  # never crashes the stage

@@ -146,9 +146,12 @@ def connected_components(
     remaining graph is finished on the driver with union-find — the CC-MR
     hybrid: star-contraction shrinks the edge set geometrically, so the tail
     rounds are pure task-dispatch latency on data that fits in one process.
-    At 2M edges the collect is ~32 MB; each avoided round saves 2 shuffles +
-    a checkpoint + a stats job. 0 (the default, and what the registered
-    oracle queries use) keeps the loop fully distributed to convergence.
+    Size the threshold to the ID TYPE: ~32 MB of Arrow per 2M int64-id
+    edges, but ~10-15x that in driver RSS for 64-char string ids (the ER
+    pipeline uses 500k for its sha256 ids); each avoided round saves 2
+    shuffles + a checkpoint + a stats job. 0 (the default, and what the
+    registered oracle queries use) keeps the loop fully distributed to
+    convergence.
     """
     def _stats(d: DataFrame) -> tuple:
         """Cheap set fingerprint: (count, sum of row hashes) in ONE job —

@@ -8,10 +8,12 @@ Decode status (no codec libraries in this container):
 * **real, pure numpy** — PPM (P6) image decode, WAV PCM-16 audio decode,
   nearest-neighbor image resize. These run on actual bytes and are
   value-tested.
-* **gated** — compressed formats (JPEG/PNG/FLAC/MP4) fall back to
-  deterministic byte-statistics features; swap :func:`_decode_any` for a
-  PIL/librosa/av call on a cluster with the libs installed — nothing else
-  in the plan changes (``HAVE_REAL_CODECS`` flips the gate).
+* **gated** — compressed image formats decode through PIL when it is
+  installed (``HAVE_REAL_CODECS``; absent in this container, branch guarded
+  and fallback-safe); everything else falls back to deterministic
+  byte-statistics features. Audio/video codec swaps (librosa/av) are a
+  manual edit of :func:`_decode_any` — the Spark plan around it never
+  changes.
 """
 
 from __future__ import annotations
@@ -82,17 +84,27 @@ def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int] | None:
     if not buf or len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
     pos, rate, data = 12, None, None
-    while pos + 8 <= len(buf):
-        cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
-        body = buf[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt, _ch, rate = struct.unpack("<HHI", body[:8])
-            bits = struct.unpack("<H", body[14:16])[0]
-            if fmt != 1 or bits != 16:  # PCM-16 only
-                return None
-        elif cid == b"data":
-            data = np.frombuffer(body[: size - size % 2], dtype="<i2")
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    # a malformed chunk (truncated fmt, declared size past the buffer, odd
+    # sample payload) must degrade to None, never raise — one corrupt file
+    # in a 10^12-file corpus must not kill the extract_features stage
+    try:
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                if len(body) < 16:
+                    return None
+                fmt, _ch, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt != 1 or bits != 16:  # PCM-16 only
+                    return None
+            elif cid == b"data":
+                n = len(body) - len(body) % 2
+                data = np.frombuffer(body[:n], dtype="<i2")
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except (struct.error, ValueError):
+        return None
     if rate is None or data is None:
         return None
     return data, rate
@@ -117,6 +129,15 @@ def _decode_any(buf: bytes | None) -> np.ndarray:
     """
     if buf:
         img = decode_ppm_p6(bytes(buf))
+        if img is None and HAVE_REAL_CODECS:  # pragma: no cover - no PIL here
+            try:
+                import io
+
+                import PIL.Image
+
+                img = np.asarray(PIL.Image.open(io.BytesIO(bytes(buf))).convert("RGB"))
+            except Exception:
+                img = None
         if img is not None:
             gray = img.astype(np.float32).mean(axis=2)
             return np.array(

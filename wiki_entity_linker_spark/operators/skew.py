@@ -102,7 +102,9 @@ def cap_and_salt_blocks(
     )
 
 
-def spread_small_input(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
+def spread_small_input(
+    df: DataFrame, min_factor: float = 0.5, target_factor: int = 1
+) -> DataFrame:
     """Repartition an under-partitioned source across the session's cores.
 
     Small parquet files read as ONE split (everything under
@@ -115,5 +117,5 @@ def spread_small_input(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, int(n * min_factor)):
-        return df.repartition(n)
+        return df.repartition(n * target_factor)
     return df

@@ -52,7 +52,7 @@ from wiki_entity_linker_spark.operators.blocking import (
     with_file_id,
 )
 from wiki_entity_linker_spark.operators.closure import components_with_singletons
-from wiki_entity_linker_spark.operators.skew import cap_and_salt_blocks
+from wiki_entity_linker_spark.operators.skew import cap_and_salt_blocks, spread_small_input
 from wiki_entity_linker_spark.plans.checkpoint import StageManager
 
 
@@ -67,10 +67,14 @@ def _input_fingerprint(df: DataFrame) -> str:
 
     files = sorted(df.inputFiles())
     ident: dict = {"schema": df.schema.json(), "files": files}
-    if files:
+    if 0 < len(files) <= 1024:
         # Fold per-file (size, mtime) into the identity so a JSONL/TSV file
         # overwritten in place under the same name invalidates the resume key
         # (parquet writers randomize part names, but text sources don't).
+        # Each status is a serial driver-side Py4J + FileSystem RPC, so this
+        # is capped: beyond 1024 files the listing alone identifies the
+        # input — at that scale the source is a managed parquet/Iceberg
+        # table whose part names change on rewrite anyway.
         jvm = df.sparkSession._jvm
         jsc = df.sparkSession._jsc
         conf = jsc.hadoopConfiguration()
@@ -83,7 +87,7 @@ def _input_fingerprint(df: DataFrame) -> str:
             except Exception:  # non-FS source (e.g. in-memory view path)
                 stats.append(None)
         ident["stats"] = stats
-    else:
+    elif not files:
         ident["rows"] = df.count()
     return params_hash(ident)
 
@@ -99,11 +103,13 @@ class ERConfig:
     salt_cap: int = 64
     max_cc_iter: int = 20
     # CC-MR hybrid cutover: star-contraction shrinks the match-edge graph
-    # geometrically; once it fits under this many edges (~32 MB collected)
-    # the driver finishes it with union-find instead of paying 2 shuffles +
-    # a checkpoint + a stats job per residual round. 0 disables (fully
-    # distributed to convergence).
-    cc_local_solve_threshold: int = 2_000_000
+    # geometrically; once it fits under this many edges the driver finishes
+    # it with union-find instead of paying 2 shuffles + a checkpoint + a
+    # stats job per residual round. Node ids here are 64-char sha256
+    # STRINGS, so budget ~150 B/object-pair: 500k edges ≈ 150 MB driver RSS
+    # (int64-id graphs can afford 10x this). 0 disables (fully distributed
+    # to convergence).
+    cc_local_solve_threshold: int = 500_000
     extra: dict = field(default_factory=dict)
 
 
@@ -140,17 +146,13 @@ def run_er_pipeline(
     # storage at larger corpora and made the 32-core config SLOWER than the
     # 8-core one; content is scanned exactly once more, below, to build the
     # compact per-doc feature table, and never cached raw.
-    n_ingest = spark.sparkContext.defaultParallelism * 2
     # only SHUFFLE raw content when the source arrives under-partitioned
     # (in-memory test frames, a single parquet split); a well-split parquet
     # scan (spark.sql.files.maxPartitionBytes) is already parallel and a
     # full-content repartition would move every byte twice for nothing
-    src = (
-        source_files
-        if source_files.rdd.getNumPartitions() >= n_ingest // 2
-        else source_files.repartition(n_ingest)
+    raw = with_file_id(
+        spread_small_input(source_files, min_factor=1.0, target_factor=2)
     )
-    raw = with_file_id(src)
 
     def _ingest() -> DataFrame:
         # Metadata + invariants ONLY. Do NOT fold the feature expressions in

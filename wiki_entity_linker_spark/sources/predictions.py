@@ -240,6 +240,17 @@ def _read_nif(spark: SparkSession, path: str) -> DataFrame:
     full-URI (``...nif-core#beginIndex>``) spellings are accepted.
     """
     blocks = spark.read.text(path, lineSep="\n\n").filter(F.col("value") != "")
+    # article order comes from zipWithIndex over the scan, which follows
+    # Spark's split packing (size-descending), NOT filename order — with a
+    # multi-file glob the context indexes would silently permute and every
+    # downstream order-aligned join would point at the wrong articles.
+    n_inputs = len(blocks.inputFiles())
+    if n_inputs > 1:
+        raise ValueError(
+            f"NIF reader requires a single turtle file (got {n_inputs}): "
+            "article order is only defined within one dump — read parts "
+            "separately and offset article_idx explicitly"
+        )
     subject = F.regexp_extract("value", r"<([^>]+)>", 1)
     is_context = F.col("value").rlike(r"(nif:isString|nif-core#isString|a\s+nif:Context|nif-core#Context>)")
     contexts = with_line_index(
