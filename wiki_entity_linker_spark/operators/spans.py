@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,22 +36,31 @@ def suppress_overlaps(
     schema = df.schema
 
     def _claim(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            by=[start_col, end_col], kind="mergesort"
-        )  # stable base order
-        pdf = pdf.assign(__len=pdf[end_col] - pdf[start_col]).sort_values(
-            by=["__len", start_col], ascending=[False, True], kind="mergesort"
-        )
-        taken: list[tuple[int, int]] = []
-        keep = []
-        for s, e in zip(pdf[start_col], pdf[end_col]):
-            ok = all(e <= ts or s >= te for ts, te in taken)
-            keep.append(ok)
-            if ok:
-                taken.append((s, e))
-        return pdf[keep].drop(columns="__len")
+        return claim_longest_first(pdf, start_col, end_col)
 
     return df.groupBy(doc_col).applyInPandas(_claim, schema=schema)
+
+
+def claim_longest_first(
+    pdf: pd.DataFrame, start_col: str = "start", end_col: str = "end"
+) -> pd.DataFrame:
+    """Single-doc greedy kernel behind :func:`suppress_overlaps` (exposed so
+    tests can property-check it directly against an independent reference)."""
+    pdf = pdf.sort_values(
+        by=[start_col, end_col], kind="mergesort"
+    )  # stable base order
+    pdf = pdf.assign(__len=pdf[end_col] - pdf[start_col]).sort_values(
+        by=["__len", start_col], ascending=[False, True], kind="mergesort"
+    )
+    taken: list[tuple[int, int]] = []
+    keep = []
+    for s, e in zip(pdf[start_col], pdf[end_col]):
+        ok = all(e <= ts or s >= te for ts, te in taken)
+        keep.append(ok)
+        if ok:
+            taken.append((s, e))
+    # np.array mask: a plain empty list would select COLUMNS, not rows
+    return pdf[np.array(keep, dtype=bool)].drop(columns="__len")
 
 
 def bucketed_interval_join(
