@@ -93,7 +93,10 @@ def streaming_first_seen(
     id_col: str = "file_id",
 ) -> DataFrame:
     """Custom stateful operator: per-key FIRST-SEEN filter over a stream
-    (``applyInPandasWithState``) — the streaming form of exact dedup.
+    (``applyInPandasWithState``) — the streaming form of exact dedup (the
+    reference's batch first-writer-wins mapping,
+    create_abstracts_mapping.py:28-38, with the same min-id determinism as
+    operators/dedup.exact_dedup).
 
     Each key (content hash) keeps one long of state: how many rows it has
     absorbed. The first micro-batch that carries a key emits that key's
