@@ -143,6 +143,48 @@ def unigram_counts(spark, sf_dir):
 
 
 @q(
+    "map_ops_link_freq",
+    """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+                  FROM lineitem GROUP BY 1, 2)
+       SELECT l_returnflag,
+              string_agg(l_linestatus || ':' || n, ';' ORDER BY l_linestatus)
+                AS map_ser,
+              coalesce(max(CASE WHEN l_linestatus = 'O' THEN n END), -1)
+                AS lookup_o
+       FROM c GROUP BY l_returnflag""",
+)
+def map_ops_link_freq(spark, sf_dir):
+    """2.7 map ops on a REAL MapType column (the reference's keyed
+    link-frequency mappings, entity_database.py:13-34 /
+    get_link_frequencies.py:34-43): build linestatus→count maps with
+    map_from_entries, iterate with map_entries/transform, look up with
+    element_at. Serialized sorted so the oracle can value-check the map."""
+    c = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+    m = c.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linestatus", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "l_returnflag",
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            ),
+            ";",
+        ).alias("map_ser"),
+        F.coalesce(F.element_at(F.col("m"), F.lit("O")), F.lit(-1).cast("long")).alias(
+            "lookup_o"
+        ),
+    )
+
+
+@q(
     "collect_set_sorted",
     """SELECT lang, string_agg(DISTINCT source, ';' ORDER BY source) AS sources
        FROM documents GROUP BY lang""",
