@@ -107,6 +107,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound pandas-UDF batch memory: the scoring stages carry int64
+        # feature arrays of 10²-10³ elements per row per side, so the 10k
+        # default is ~100-300 MB per in-flight batch × one per core — at 32
+        # wide on one node that inverted the 757k-file scaling leg
+        # (437-483 s vs 402 s at 8 cores; 389 s once bounded). Matches the
+        # cluster profile's arrow.maxRecordsPerBatch rationale.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
