@@ -1,6 +1,9 @@
-"""End-to-end linking on the REAL reference benchmark vs golden numbers
-(VERDICT r1 #7). Deterministic: alias dict, argmax tie-breaks and overlap
-suppression are all order-free, so the metrics are exact across runs."""
+"""End-to-end linking on the REAL reference benchmark vs golden numbers,
+scored through the reconstructed ELEVANT semantics so the comparison with
+the reference baseline's committed eval_results is apples-to-apples
+(VERDICT r3 #1/#2). Deterministic: alias dict, argmax tie-breaks, overlap
+suppression and coref window resolution are all order-free, so the metrics
+are exact across runs."""
 
 import os
 
@@ -18,13 +21,20 @@ pytestmark = pytest.mark.skipif(
 
 def test_benchmark_linking_vs_golden(spark):
     out = run_benchmark_demo(spark)
-    ours = out["spark_hyperlink_prior"]["mention_types"]["all"]
-    # Exact regression pin (values verified by hand; see
-    # eval_results/spark_hyperlink_prior.wiki-fair-v2.eval_results.json)
-    assert ours["true_positives"] == 928
-    assert ours["ground_truth"] == 2514
-    # magnitude check vs the reference's committed baseline numbers
-    golden = out["reference_baseline"]["mention_types"]["all"]
+    ours = out["spark_hyperlink_prior"]["IGNORED"]["mention_types"]["all"]
+    golden = out["reference_baseline"]["IGNORED"]["mention_types"]["all"]
+    # the reference baseline's committed headline numbers
+    assert golden["ground_truth"] == 2012
     assert abs(golden["f1"] - 0.4428) < 1e-3
-    assert 0.30 <= ours["f1"] <= 0.55
-    assert ours["recall"] >= golden["recall"] - 0.05
+    # ELEVANT ground truth is prediction-dependent; across the reference's
+    # own linkers it spans 2005..2014 — ours must land in the same band
+    assert 2000 <= ours["ground_truth"] <= 2020
+    # exact regression pin for the 3-stage pipeline (hyperlink-prior linker
+    # + person-pronoun coref), measured under the validated evaluator
+    assert ours["true_positives"] == 1074
+    assert ours["false_positives"] == 221
+    # the pipeline beats the reference baseline's F1=0.4428
+    assert ours["f1"] > golden["f1"] + 0.15
+    # coref stage produces real coref credit (the baseline scores 0 here)
+    coref = out["spark_hyperlink_prior"]["IGNORED"]["mention_types"]["coref"]
+    assert coref["true_positives"] >= 50

@@ -112,3 +112,37 @@ def test_all_linkers_buckets(resf):
         wrow = want["IGNORED"]["mention_types"]["all"]
         for k in ("true_positives", "false_positives", "false_negatives"):
             assert abs(grow[k] - wrow[k]) <= 3
+
+
+@needs_reference
+def test_spark_path_matches_reference(spark):
+    """The distributed evaluator (applyInPandas cases + JVM aggregation)
+    reproduces the committed baseline eval_results exactly."""
+    from pyspark.sql import functions as F
+
+    from wiki_entity_linker_spark.eval.elevant_spark import (
+        evaluate_cases, results_dict)
+    from wiki_entity_linker_spark.sources.tables import read_articles_jsonl
+
+    arts = read_articles_jsonl(spark, BENCH)
+    linked = read_articles_jsonl(
+        spark, "/root/reference/evaluation-results/baseline/"
+               "baseline.wiki-fair-v2.linked_articles.jsonl")
+    preds = (
+        linked.select(F.col("id").alias("article_id"),
+                      F.explode("entity_mentions").alias("m"))
+        .select("article_id",
+                F.element_at("m.span", 1).alias("start"),
+                F.element_at("m.span", 2).alias("end"),
+                F.col("m.id").alias("entity_id")))
+    got = results_dict(evaluate_cases(arts, preds))
+    want = json.load(open(
+        "/root/reference/evaluation-results/baseline/"
+        "baseline.wiki-fair-v2.eval_results.json"))
+    for mode in ("IGNORED", "REQUIRED"):
+        for bucket in ("all", "entity", "coref"):
+            g = got[mode]["mention_types"][bucket]
+            w = want[mode]["mention_types"][bucket]
+            for k in ("true_positives", "false_positives",
+                      "false_negatives", "ground_truth"):
+                assert g[k] == w[k], (mode, bucket, k, g[k], w[k])
