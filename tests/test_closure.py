@@ -97,3 +97,16 @@ def test_cc_local_solve_matches_distributed(spark):
                    for r in connected_components(
                        df, local_solve_threshold=30).collect()}
             assert mid == dist
+
+
+def test_transitive_closure_raises_on_depth_overflow(spark):
+    """VERDICT r3 #3: a graph deeper than max_depth must fail loudly, not
+    return a silently partial closure; a sufficient max_depth succeeds."""
+    import pytest
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(60)]  # 60-deep chain
+    df = spark.createDataFrame(edges, "child string, parent string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(df, max_depth=20)
+    got = transitive_closure(df, max_depth=64)
+    assert got.count() == 61 * 60 // 2  # full reachability of the chain

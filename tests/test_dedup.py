@@ -143,3 +143,33 @@ def test_ivf_topk_trained_centroids_recall(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert all((q, q) in a for q in range(8))
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_neardup_hot_bucket_guard(spark):
+    """VERDICT r3 #4: a planted hot bucket (identical vectors all colliding
+    in every table) is dropped by max_bucket, bounding candidate pairs;
+    without the guard the same corpus produces the full quadratic set."""
+    from wiki_entity_linker_spark.operators.dedup import embedding_neardup_lsh_pairs
+
+    n = 40
+    rows = [(i, [1.0] * 8) for i in range(n)]  # one identical family
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unguarded = embedding_neardup_lsh_pairs(
+        df, dim=8, id_col="vec_id", threshold=0.9, n_planes=4, n_tables=2
+    ).count()
+    assert unguarded == n * (n - 1) // 2  # quadratic blow-up
+    guarded = embedding_neardup_lsh_pairs(
+        df, dim=8, id_col="vec_id", threshold=0.9, n_planes=4, n_tables=2,
+        max_bucket=10,
+    ).count()
+    assert guarded == 0  # the oversized bucket is dropped in every table
+
+
+def test_ivf_centroid_clamp_small_corpus(spark):
+    """ADVICE r3: fewer training rows than requested centroids must clamp,
+    not raise from rng.choice."""
+    from wiki_entity_linker_spark.operators.ann import train_ivf_centroids
+
+    df = _vec_df(spark, n=5, dim=8)
+    cents = train_ivf_centroids(df, dim=8, n_centroids=16, id_col="vec_id")
+    assert 1 <= len(cents) <= 5

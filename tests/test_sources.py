@@ -255,6 +255,9 @@ def test_nif_prediction_reader(spark):
         (0, [0, 8], "Q13909"),
         (0, [21, 24], "Q167498"),
         (1, [0, 6], "Q64"),
+        # non-Wikidata KB URI: falls back to the full taIdentRef target
+        # instead of a silently-shared empty id (ADVICE r3)
+        (1, [10, 18], "http://dbpedia.org/resource/Berlin"),
     ]
     assert all(r["linked_by"] == "nif" for r in rows)
 

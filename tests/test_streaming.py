@@ -110,3 +110,74 @@ def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
         assert got2 == got1 | {("C", "f4", 0)}
     finally:
         q.stop()
+
+
+def test_streaming_first_seen_survives_restart(spark, tmp_path):
+    """VERDICT r3 #8: the stateful first-seen operator must restore its
+    state store from the checkpoint on process restart — a key seen before
+    the stop stays suppressed after it."""
+    import json as _json
+
+    from wiki_entity_linker_spark.streaming.events import streaming_first_seen
+
+    stream_dir = str(tmp_path / "restart_stream")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(stream_dir)
+    schema = "content_hash string, file_id string"
+
+    def drop(name, rows):
+        with open(os.path.join(stream_dir, name), "w") as f:
+            for h, i in rows:
+                f.write(_json.dumps({"content_hash": h, "file_id": i}) + "\n")
+
+    out_dir = str(tmp_path / "restart_out")
+    os.makedirs(out_dir)
+
+    def start():
+        stream = spark.readStream.schema(schema).json(stream_dir)
+
+        def sink(batch_df, batch_id):
+            rows = batch_df.collect()
+            if rows:
+                with open(os.path.join(out_dir, f"emit-{batch_id}.jsonl"),
+                          "w") as f:
+                    for r in rows:
+                        f.write(_json.dumps(
+                            {"content_hash": r["content_hash"],
+                             "file_id": r["file_id"]}) + "\n")
+
+        return (
+            streaming_first_seen(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def emitted():
+        rows = set()
+        for name in os.listdir(out_dir):
+            for ln in open(os.path.join(out_dir, name)):
+                d = _json.loads(ln)
+                rows.add((d["content_hash"], d["file_id"]))
+        return rows
+
+    drop("b1.jsonl", [("A", "f1"), ("B", "f2")])
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+        assert emitted() == {("A", "f1"), ("B", "f2")}
+    finally:
+        q1.stop()
+
+    # process restart: a fresh query against the same checkpoint
+    drop("b2.jsonl", [("A", "f9"), ("D", "f4")])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        # A was seen before the restart: suppressed by the RESTORED state;
+        # only the genuinely new key is emitted
+        assert emitted() == {("A", "f1"), ("B", "f2"), ("D", "f4")}
+    finally:
+        q2.stop()

@@ -156,6 +156,10 @@ def train_ivf_centroids(
     """
     rows = df.orderBy(id_col).limit(train_limit).select(vec_col).collect()
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("train_ivf_centroids: training slice is empty")
+    # small corpora / heavy filters: fewer rows than requested centroids
+    n_centroids = min(n_centroids, len(X))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
     for _ in range(n_iter):

@@ -245,7 +245,11 @@ def transitive_closure(
         )
         closure = base
         prev = closure.count()
-        rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+        # +1 confirmation round: a graph of depth exactly max_depth still
+        # grows in the final doubling round, so convergence needs one extra
+        # no-growth round to be observable
+        rounds = max(1, math.ceil(math.log2(max(2, max_depth)))) + 1
+        converged = False
         for _ in range(rounds):
             doubled = (
                 closure.alias("l")
@@ -259,7 +263,18 @@ def transitive_closure(
                 closure.unpersist()  # bound executor storage: one live round only
             closure = nxt
             if n == prev:
+                converged = True
                 break
             prev = n
         base.unpersist()
+        if not converged:
+            # mirror connected_components' loud non-convergence: a silently
+            # partial closure corrupts every downstream join
+            closure.unpersist()
+            raise RuntimeError(
+                f"transitive_closure did not converge within {rounds} doubling "
+                f"rounds (max_depth={max_depth}): the graph has paths longer "
+                f"than max_depth. Raise max_depth (rounds grow only "
+                f"logarithmically) or break cycles upstream."
+            )
     return closure.select(F.col("a").alias(src), F.col("b").alias(dst))

@@ -237,6 +237,7 @@ def embedding_neardup_lsh_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup, scale path: random-hyperplane LSH
     bucket self-join blocking + exact cosine verify (no cross join).
@@ -251,15 +252,26 @@ def embedding_neardup_lsh_pairs(
     ``1-(1-(1-θ/π)^p)^t`` — tune planes/tables per threshold.
 
     At 10⁸+ vectors the bucket self-join shuffles on ``bucket``; near-
-    duplicate-heavy corpora can produce hot buckets — route the bucket
-    table through ``operators.skew.cap_and_salt_blocks`` (same guard as the
-    ER blocking stage) before pairing if block-size skew shows up.
+    duplicate-heavy corpora can produce hot buckets.  ``max_bucket`` is the
+    wired-in skew guard: a bucket with more than ``max_bucket`` members is
+    dropped from pairing in that table (the deterministic stopword-drop
+    from ``operators.skew.cap_and_salt_blocks``), bounding the worst bucket
+    at ``max_bucket²/2`` pairs per table.  Members of a dropped bucket are
+    still recalled by the other tables unless they collide everywhere —
+    the usual LSH stopword trade.
     """
     from wiki_entity_linker_spark.operators.ann import rhp_lsh_buckets
 
     cand = None
     for t in range(n_tables):
         bk = rhp_lsh_buckets(df, dim, id_col, vec_col, n_planes, seed, t)
+        if max_bucket is not None:
+            w = Window.partitionBy("bucket")
+            bk = (
+                bk.withColumn("__n", F.count("*").over(w))
+                .filter(F.col("__n") <= max_bucket)
+                .drop("__n")
+            )
         a = bk.select(F.col(id_col).alias("id_a"), "bucket")
         b = bk.select(F.col(id_col).alias("id_b"), "bucket")
         c = (

@@ -947,7 +947,8 @@ def embedding_cosine_topk(spark, sf_dir):
 
 
 def _neardup_lsh_oracle(
-    dim: int, thr: float, n_planes: int, n_tables: int, seed: int = 42
+    dim: int, thr: float, n_planes: int, n_tables: int, seed: int = 42,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB mirror of embedding_neardup_lsh_pairs: the SAME seeded numpy
     plane literals → bucket self-join → distinct pairs → exact-cosine verify,
@@ -969,11 +970,17 @@ def _neardup_lsh_oracle(
         f"SELECT vec_id, 't{t}:' || CAST({bucket_expr(t)} AS VARCHAR) AS bucket FROM v"
         for t in range(n_tables)
     )
+    keep = (
+        f"vk AS (SELECT * FROM vb QUALIFY count(*) OVER "
+        f"(PARTITION BY bucket) <= {max_bucket}),"
+        if max_bucket is not None else "vk AS (SELECT * FROM vb),"
+    )
     return f"""
        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        vb AS ({buckets}),
+       {keep}
        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM vb a JOIN vb b
+                FROM vk a JOIN vk b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
        scored AS (SELECT id_a, id_b,
                          round(list_cosine_similarity(va.e, wb.e), 6) AS cos
@@ -982,12 +989,15 @@ def _neardup_lsh_oracle(
        SELECT id_a, id_b, cos FROM scored WHERE cos >= {thr}"""
 
 
-@q("embedding_neardup", _neardup_lsh_oracle(dim=64, thr=0.4, n_planes=6, n_tables=3))
+@q("embedding_neardup", _neardup_lsh_oracle(dim=64, thr=0.4, n_planes=6,
+                                             n_tables=3, max_bucket=256))
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the bucketed RHP-LSH scale
-    path (no cross join in the physical plan; see tests/test_plans.py).
-    The brute-force baseline (embedding_neardup_pairs) remains as the
-    small-n parity test in tests/test_dedup.py."""
+    path (no cross join in the physical plan; see tests/test_plans.py),
+    with the hot-bucket guard engaged (max_bucket=256, replicated in the
+    oracle's QUALIFY filter). The brute-force baseline
+    (embedding_neardup_pairs) remains as the small-n parity test in
+    tests/test_dedup.py."""
     return embedding_neardup_lsh_pairs(
         _t(spark, sf_dir, "embeddings"),
         dim=64,
@@ -996,6 +1006,7 @@ def embedding_neardup(spark, sf_dir):
         threshold=0.4,
         n_planes=6,
         n_tables=3,
+        max_bucket=256,
     )
 
 

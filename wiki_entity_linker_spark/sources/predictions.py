@@ -265,9 +265,19 @@ def _read_nif(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", r'endIndex[^"]*"([0-9]+)"', 1)
         .cast("long")
         .alias("end"),
-        F.regexp_extract("value", r"taIdentRef[^<]*<[^>]*?(Q[0-9]+)>", 1).alias(
-            "entity_id"
-        ),
+        # Wikidata Q-id when present; other KBs (DBpedia etc.) fall back to
+        # the full taIdentRef URI instead of a silently-shared empty string
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    "value", r"taIdentRef[^<]*<[^>]*?(Q[0-9]+)>", 1),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract("value", r"taIdentRef[^<]*<([^>]+)>", 1),
+                F.lit(""),
+            ),
+        ).alias("entity_id"),
         F.regexp_extract("value", r"referenceContext[^<]*<([^>]+)>", 1).alias(
             "ctx_uri"
         ),

@@ -127,10 +127,14 @@ def streaming_first_seen(
         n = 0
         best = None
         for pdf in pdf_iter:
+            if not len(pdf):
+                continue  # an empty chunk would yield a NaN min
             n += len(pdf)
             m = pdf[id_col].min()
             if best is None or m < best:
                 best = m
+        if best is None:
+            return iter(())
         if state.exists:
             (seen,) = state.get
             state.update((seen + n,))
