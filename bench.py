@@ -43,6 +43,20 @@ HEADLINE = [
 ]
 
 
+# data-bound queries that get an extra measurement at ~sf1 (10x sf0.1):
+# at sf0.1 they finish in a few seconds where shared-host noise is ~20%,
+# so regressions can hide; the scaled leg raises the floor 10x.
+# (connected_components / transitive_closure are excluded: their graphs are
+# fixed-size synthetics, so they do not scale with sf.)
+SF1_QUERIES = [
+    "ngram_jaccard",
+    "minhash_neardup",
+    "er_cluster_documents",
+    "interval_join_events",
+    "sha_exact_dedup",
+]
+
+
 def _force(df) -> int:
     """Materialize fully without collecting to the driver."""
     return df.write.format("noop").mode("overwrite").save() or 0
@@ -86,6 +100,24 @@ def run_headline(sf_dir: str, cpus: int | None, repeats: int = 2) -> dict:
         "host_load_before": round(load_before, 2),
         "host_load_after": round(_loadavg(), 2),
     }
+    # sf1 leg (VERDICT r3 #6): the data-bound expensive queries once more
+    # on deterministically 10x-scaled tables; single-shot (the 10x floor
+    # dominates noise), recorded under "sf1" so rounds stay comparable
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1" and sf_dir.endswith("0.1"):
+        from wiki_entity_linker_spark.fixtures.scale_up import ensure_scaled_sf
+
+        sf1_dir = ensure_scaled_sf(spark, sf_dir)
+        sf1_times: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            t0 = time.time()
+            _force(qs[name](spark, sf1_dir))
+            sf1_times[name] = round(time.time() - t0, 3)
+        out["sf1"] = {
+            "queries": sf1_times,
+            "total": round(sum(sf1_times.values()), 3),
+            "scale": "sf0.1 x10 deterministic replication",
+            "n_per_query": 1,
+        }
     spark.stop()
     return out
 

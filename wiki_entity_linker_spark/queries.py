@@ -1292,6 +1292,118 @@ def er_cluster_documents(spark, sf_dir):
     return components_with_singletons(nodes, pairs, id_col="file_id", shuffle_partitions=8)
 
 
+# ===========================================================================
+# Round-4 operators: coref antecedent window + ELEVANT counting aggregation
+# ===========================================================================
+
+@q(
+    "coref_antecedent_window",
+    """SELECT event_id, user_id, antecedent FROM (
+         SELECT event_id, user_id, event_type,
+                last_value(CASE WHEN event_type = 'view' THEN event_id END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS antecedent
+         FROM events)
+       WHERE event_type = 'purchase'""",
+)
+def coref_antecedent_window(spark, sf_dir):
+    """Nearest-preceding-compatible-mention resolution as one window pass —
+    the coref stage's core operator (plans/coref.py, reference
+    linking_system.py:276-292) stated over the events table: each purchase
+    resolves to the most recent preceding view by the same user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "view_id",
+            F.when(F.col("event_type") == "view", F.col("event_id")))
+        .withColumn("antecedent", F.last("view_id", True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "antecedent")
+    )
+
+
+@q(
+    "elevant_counting",
+    """WITH c AS (
+         SELECT CASE lang WHEN 'en' THEN 'ENTITY_NAMED'
+                          WHEN 'de' THEN 'ENTITY_NON_NAMED'
+                          WHEN 'fr' THEN 'COREF_NOMINAL'
+                          WHEN 'es' THEN 'COREF_PRONOMINAL'
+                          ELSE 'ENTITY_UNKNOWN' END AS mention_type,
+                doc_id % 7 = 0 AS is_child,
+                CASE doc_id % 5 WHEN 0 THEN ['TP'] WHEN 1 THEN ['FN']
+                                WHEN 2 THEN ['FP'] WHEN 3 THEN ['FN','FP']
+                                ELSE []::VARCHAR[] END AS types
+         FROM documents),
+       e AS (SELECT mention_type, is_child, unnest(types) AS t FROM c),
+       f AS (SELECT * FROM e WHERE NOT is_child OR t = 'FP'),
+       per AS (SELECT mention_type,
+                      sum(CASE WHEN t='TP' THEN 1 ELSE 0 END) AS tp,
+                      sum(CASE WHEN t='FP' THEN 1 ELSE 0 END) AS fp,
+                      sum(CASE WHEN t='FN' THEN 1 ELSE 0 END) AS fn
+               FROM f GROUP BY 1),
+       b(bucket, mention_type) AS (VALUES
+         ('all','ENTITY_NAMED'),('all','ENTITY_NON_NAMED'),
+         ('all','ENTITY_UNKNOWN'),('all','COREF_NOMINAL'),
+         ('all','COREF_PRONOMINAL'),
+         ('entity','ENTITY_NAMED'),('entity','ENTITY_NON_NAMED'),
+         ('entity','ENTITY_UNKNOWN'),
+         ('coref','COREF_NOMINAL'),('coref','COREF_PRONOMINAL'),
+         ('entity_named','ENTITY_NAMED'),
+         ('entity_non_named','ENTITY_NON_NAMED'),
+         ('entity_unknown','ENTITY_UNKNOWN'),
+         ('coref_nominal','COREF_NOMINAL'),
+         ('coref_pronominal','COREF_PRONOMINAL')),
+       agg AS (SELECT bucket, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+               FROM per JOIN b USING (mention_type) GROUP BY 1)
+       SELECT bucket, tp, fp, fn, tp + fn AS ground_truth,
+              round(CASE WHEN tp + fp > 0
+                         THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END, 6)
+                AS prec,
+              round(CASE WHEN tp + fn > 0
+                         THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0 END, 6)
+                AS rec
+       FROM agg""",
+)
+def elevant_counting(spark, sf_dir):
+    """The distributed ELEVANT results aggregation (eval/elevant_spark.py
+    ``aggregate_results``: child cases count only FPs, bucket rollup over
+    mention types) driven by a deterministic cases table derived from the
+    documents table. The case-GENERATION semantics are separately
+    value-checked against the reference's own committed artifacts
+    (tests/test_elevant_eval.py); this query oracle-checks the counting."""
+    from wiki_entity_linker_spark.eval.elevant_spark import aggregate_results
+
+    d = _t(spark, sf_dir, "documents")
+    cases = d.select(
+        F.when(F.col("lang") == "en", "ENTITY_NAMED")
+        .when(F.col("lang") == "de", "ENTITY_NON_NAMED")
+        .when(F.col("lang") == "fr", "COREF_NOMINAL")
+        .when(F.col("lang") == "es", "COREF_PRONOMINAL")
+        .otherwise("ENTITY_UNKNOWN").alias("mention_type"),
+        (F.col("doc_id") % 7 == 0).alias("is_child"),
+        F.when(F.col("doc_id") % 5 == 0, F.array(F.lit("TP")))
+        .when(F.col("doc_id") % 5 == 1, F.array(F.lit("FN")))
+        .when(F.col("doc_id") % 5 == 2, F.array(F.lit("FP")))
+        .when(F.col("doc_id") % 5 == 3, F.array(F.lit("FN"), F.lit("FP")))
+        .otherwise(F.array().cast("array<string>")).alias("ignored_types"),
+    )
+    out = aggregate_results(cases, "IGNORED")
+    return out.select(
+        "bucket", "tp", "fp", "fn", "ground_truth",
+        F.round("precision", 6).alias("prec"),
+        F.round("recall", 6).alias("rec"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
