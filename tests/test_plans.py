@@ -126,3 +126,37 @@ def test_bucketed_join_elides_exchange(spark, sf001, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS bk_meta")
         spark.sql("DROP TABLE IF EXISTS bk_src")
+
+
+def test_coref_window_single_exchange(spark, sf001):
+    """The antecedent-resolution window is ONE hash exchange + ONE window —
+    no join, no extra shuffle (the coref stage's scale property)."""
+    from wiki_entity_linker_spark.queries import coref_antecedent_window
+
+    plan = _plan(coref_antecedent_window(spark, sf001))
+    assert plan.count("Exchange") <= 2  # partition-by-user + final agg-less
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_elevant_cases_single_groupby_shuffle(spark):
+    """evaluate_cases: articles group-evaluate independently — the plan
+    carries the applyInPandas stage keyed by article_id with no cartesian
+    and no Python in the article scan itself."""
+    import os
+
+    from wiki_entity_linker_spark.eval.elevant_spark import evaluate_cases
+    from wiki_entity_linker_spark.sources.tables import read_articles_jsonl
+
+    bench = "/root/reference/benchmarks/wiki-fair-v2.benchmark.jsonl"
+    if not os.path.exists(bench):
+        import pytest
+        pytest.skip("reference benchmark not present")
+    arts = read_articles_jsonl(spark, bench)
+    preds = spark.createDataFrame(
+        [(1, 0, 5, "Q1")], "article_id long, start long, end long, entity_id string")
+    plan = _plan(evaluate_cases(arts, preds))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
