@@ -146,3 +146,38 @@ def test_spark_path_matches_reference(spark):
             for k in ("true_positives", "false_positives",
                       "false_negatives", "ground_truth"):
                 assert g[k] == w[k], (mode, bucket, k, g[k], w[k])
+
+
+@needs_reference
+@pytest.mark.parametrize("bench_name", [
+    "wiki-fair", "wiki-fair-no-coref", "wiki-fair-v2-no-coref"])
+@pytest.mark.parametrize("linker", ["baseline", "oracle"])
+def test_other_benchmarks_exact(bench_name, linker):
+    """The evaluator generalizes: the reference's own baseline and oracle
+    reproduce every published bucket number on the v1 benchmark (no coref
+    annotations -> text-derived coref classification) and both no-coref
+    variants."""
+    bpath = f"/root/reference/benchmarks/{bench_name}.benchmark.jsonl"
+    base = (f"/root/reference/evaluation-results/{linker}/"
+            f"{linker}.{bench_name}")
+    if not os.path.exists(base + ".linked_articles.jsonl"):
+        pytest.skip("artifacts not present")
+    arts = {json.loads(ln)["id"]: json.loads(ln) for ln in open(bpath)}
+    names = {}
+    for cf in glob.glob(f"/root/reference/evaluation-results/*/"
+                        f"*.{bench_name}.eval_cases.jsonl"):
+        for ln in open(cf):
+            for rc in json.loads(ln):
+                for k in ("true_entity", "predicted_entity"):
+                    e = rc.get(k)
+                    if e and e.get("entity_id") and e.get("name"):
+                        names.setdefault(e["entity_id"], e["name"])
+    want = json.load(open(base + ".eval_results.json"))
+    all_cases = _run(base, arts, names)
+    for mode in ("IGNORED", "REQUIRED"):
+        got = aggregate(all_cases, mode)
+        for bucket, row in got.items():
+            wrow = want[mode]["mention_types"][bucket]
+            for k in ("true_positives", "false_positives",
+                      "false_negatives", "ground_truth"):
+                assert row[k] == wrow[k], (mode, bucket, k, row[k], wrow[k])

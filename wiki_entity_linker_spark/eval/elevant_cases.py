@@ -88,7 +88,10 @@ class Label:
     span: tuple[int, int]
     entity_id: str
     name: str
-    coref: bool = False
+    # True/False when the benchmark annotates coreference (wiki-fair-v2);
+    # None when it does not (wiki-fair v1) — then coref-ness is derived
+    # from the mention text, matching the reference harness
+    coref: Optional[bool] = False
     optional: bool = False
     desc: bool = False
     parent: Optional[int] = None
@@ -170,8 +173,15 @@ def _name_is_named(name: Optional[str]) -> bool:
 
 
 def _mention_type(label: Label, article_text: str) -> str:
-    if label.coref:
-        mention = article_text[label.span[0]:label.span[1]]
+    mention = article_text[label.span[0]:label.span[1]]
+    coref = label.coref
+    if coref is None:
+        # benchmark without coref annotations: classify from the text
+        toks = mention.split()
+        coref = mention.lower() in PRONOUNS or (
+            len(toks) > 1 and toks[0].lower() in NOMINAL_STARTERS
+            and not toks[1][:1].isupper())
+    if coref:
         return "COREF_PRONOMINAL" if mention.lower() in PRONOUNS else "COREF_NOMINAL"
     kind = label.kind
     if kind == "nil":
@@ -252,24 +262,28 @@ def evaluate_article(
     (``evaluate.py:117`` -> ``evaluator.evaluate_article``).
     """
     label_by_id = {l.label_id: l for l in labels}
-    norm_spans = {normalize_span(text, *p.span) for p in predictions}
+    # two matching tiers: exact normalized spans always win; a prediction
+    # that cuts a word mid-token ("adm|iral") additionally matches at the
+    # token boundary, consulted only when no exact prediction exists there
     pred_by_span: dict[tuple[int, int], Prediction] = {}
+    pred_by_ext: dict[tuple[int, int], tuple[tuple[int, int], Prediction]] = {}
     for p in predictions:
         ns = normalize_span(text, *p.span)
-        # a prediction that cuts a word mid-token moves to the token
-        # boundary ("adm|iral" -> "admiral") unless another prediction
-        # already owns that span
+        pred_by_span[ns] = p
         b, e = ns
         if e < len(text) and text[e].isalnum() and e > b and text[e - 1].isalnum():
             while e < len(text) and text[e].isalnum():
                 e += 1
-        if (b, e) != ns and (b, e) in norm_spans:
-            b, e = ns
-        pred_by_span[(b, e)] = p
+            pred_by_ext.setdefault((b, e), (ns, p))
 
     def match_span(label: Label) -> Optional[tuple[int, int]]:
         ns = normalize_span(text, *label.span)
-        return ns if ns in pred_by_span else None
+        if ns in pred_by_span:
+            return ns
+        ext = pred_by_ext.get(ns)
+        if ext is not None:
+            return ext[0]  # the prediction's own span (marks it consumed)
+        return None
 
     def pred_for(label: Label) -> Optional[Prediction]:
         ms = match_span(label)
@@ -513,7 +527,7 @@ def labels_from_benchmark_json(raw_labels: list[dict]) -> list[Label]:
             span=tuple(l["span"]),
             entity_id=l.get("entity_id") or "",
             name=l.get("name") or "",
-            coref=bool(l.get("coref")),
+            coref=(None if "coref" not in l else bool(l.get("coref"))),
             optional=bool(l.get("optional")),
             desc=bool(l.get("desc")),
             parent=l.get("parent"),
