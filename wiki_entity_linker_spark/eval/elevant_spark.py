@@ -95,7 +95,10 @@ def evaluate_cases(articles: DataFrame, predictions: DataFrame) -> DataFrame:
                     span=(int(l["span"][0]), int(l["span"][1])),
                     entity_id=l["entity_id"] or "",
                     name=l["name"] or "",
-                    coref=bool(l["coref"]),
+                    # None (not False) when the benchmark has no coref
+                    # annotation: the kernel then derives coref-ness from
+                    # the mention text (wiki-fair v1 semantics)
+                    coref=None if l["coref"] is None else bool(l["coref"]),
                     optional=bool(l["optional"]),
                     desc=bool(l["desc"]),
                     parent=None if l["parent"] is None or pd.isna(l["parent"])
