@@ -17,6 +17,7 @@ from wiki_entity_linker_spark.functions.text import normalize_content, shingles,
 from wiki_entity_linker_spark.functions.vectors import cosine
 from wiki_entity_linker_spark.operators.blocking import (
     lsh_band_blocks,
+    minhash_from_shingles,
     minhash_signatures,
     pairs_from_blocks,
 )
@@ -60,11 +61,18 @@ def minhash_neardup_pairs(
     → ``(id_a, id_b, jaccard)``.
     """
     df = spread_small_input(df)
+    # ONE tokenize/shingle pass: the shingle arrays feed the signature
+    # derivation AND both verify sides; without the cut Catalyst re-runs
+    # the scan per consumer (measured: 8 parquet scans in this plan)
     toks = df.select(
         F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+    ).localCheckpoint(eager=True)
+    sigs = minhash_from_shingles(toks, id_col, "sh", n_hashes)
+    # blocks feed both sides of the pair self-join: cut here too so the
+    # minhash aggregation itself runs once
+    blocks = lsh_band_blocks(sigs, id_col, bands, n_hashes).localCheckpoint(
+        eager=True
     )
-    sigs = minhash_signatures(df, id_col, content_col, k_shingle, n_hashes)
-    blocks = lsh_band_blocks(sigs, id_col, bands, n_hashes)
     pairs = pairs_from_blocks(blocks, id_col)
     a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -173,6 +181,13 @@ def ngram_jaccard_pairs(
     inv = grams.select("id", F.explode("g").alias("gs")).select(
         "id", F.xxhash64("gs").alias("gram")
     )
+    # materialize the inverted index ONCE: it feeds four consumers (hot-gram
+    # aggregation, per-id sizes, both sides of the self-join) and Catalyst
+    # otherwise re-runs the tokenize/shingle scan per consumer — measured as
+    # 4 full document scans in the sf1 plan. localCheckpoint stores the
+    # exploded (id, gram) rows (two 8-byte columns) and truncates lineage;
+    # at cluster scale the same cut belongs in a StageManager stage table.
+    inv = inv.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         # the HOT list is tiny by construction → broadcast anti-join
         hot = (
