@@ -173,3 +173,23 @@ def test_ivf_centroid_clamp_small_corpus(spark):
     df = _vec_df(spark, n=5, dim=8)
     cents = train_ivf_centroids(df, dim=8, n_centroids=16, id_col="vec_id")
     assert 1 <= len(cents) <= 5
+
+
+def test_ivf_hot_cell_guard(spark):
+    """max_cell bounds a pathological IVF cell deterministically: identical
+    vectors all land in one cell; the guard truncates the candidate index
+    to the lowest max_cell ids while queries still find those survivors."""
+    from wiki_entity_linker_spark.operators.ann import ivf_topk
+
+    n = 30
+    rows = [(i, [1.0] * 4) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = [[1.0, 1.0, 1.0, 1.0], [-1.0, -1.0, -1.0, -1.0]]
+    full = ivf_topk(df, queries, cents, k=50, nprobe=1)
+    assert full.count() == 2 * n  # everything is a candidate
+    guarded = ivf_topk(df, queries, cents, k=50, nprobe=1, max_cell=5)
+    got = {r["vec_id"] for r in guarded.collect()}
+    assert guarded.count() == 2 * 5
+    assert got == {0, 1, 2, 3, 4}  # lowest-id survivors, deterministic

@@ -208,6 +208,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe each query's ``nprobe`` nearest cells,
     exact-cosine re-rank only the vectors indexed there.
@@ -217,9 +218,21 @@ def ivf_topk(
     vectors, so per-query work drops by ``n_centroids / nprobe`` vs brute
     force. Skewed cells (seeded random centroids don't balance like trained
     ones) are the operator's known weakness — train with
-    :func:`train_ivf_centroids` in production, or salt hot cells.
+    :func:`train_ivf_centroids` in production. ``max_cell`` is the wired-in
+    guard for the pathological case: a cell holding more than ``max_cell``
+    vectors keeps only its ``max_cell`` lowest-id members in the candidate
+    index (deterministic truncation; queries probing a truncated hot cell
+    trade recall for a bounded join, the same stopword trade as the LSH
+    dedup guard).
     """
     va = ivf_assign(vectors, centroids, id_col, vec_col)
+    if max_cell is not None:
+        wcell = Window.partitionBy("cell").orderBy(id_col)
+        va = (
+            va.withColumn("__rn", F.row_number().over(wcell))
+            .filter(F.col("__rn") <= max_cell)
+            .drop("__rn")
+        )
     qcells = _cell_structs(query_vec_col, centroids)
     qa = queries.select(
         F.col(query_id_col).alias("query_id"),
