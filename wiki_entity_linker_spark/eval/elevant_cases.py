@@ -267,14 +267,26 @@ def evaluate_article(
     # token boundary, consulted only when no exact prediction exists there
     pred_by_span: dict[tuple[int, int], Prediction] = {}
     pred_by_ext: dict[tuple[int, int], tuple[tuple[int, int], Prediction]] = {}
+    def _tok_char(i: int) -> bool:
+        return 0 <= i < len(text) and text[i].isalnum()
+
     for p in predictions:
         ns = normalize_span(text, *p.span)
         pred_by_span[ns] = p
         b, e = ns
-        if e < len(text) and text[e].isalnum() and e > b and text[e - 1].isalnum():
-            while e < len(text) and text[e].isalnum():
-                e += 1
-            pred_by_ext.setdefault((b, e), (ns, p))
+        # a prediction cutting an alphanumeric token expands to the token
+        # boundary on either side ("adm|iral", "Aviamot|ornaya"); the
+        # expanded span goes into the fallback tier only
+        right = e
+        if _tok_char(e) and e > b and _tok_char(e - 1):
+            while _tok_char(right):
+                right += 1
+        left = b
+        if _tok_char(b - 1) and b < e and _tok_char(b):
+            while _tok_char(left - 1):
+                left -= 1
+        for span in {(b, right), (left, e), (left, right)} - {(b, e)}:
+            pred_by_ext.setdefault(normalize_span(text, *span), (ns, p))
 
     def match_span(label: Label) -> Optional[tuple[int, int]]:
         ns = normalize_span(text, *label.span)
