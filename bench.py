@@ -109,14 +109,21 @@ def run_headline(sf_dir: str, cpus: int | None, repeats: int = 2) -> dict:
         sf1_dir = ensure_scaled_sf(spark, sf_dir)
         sf1_times: dict[str, float] = {}
         for name in SF1_QUERIES:
-            t0 = time.time()
-            _force(qs[name](spark, sf1_dir))
-            sf1_times[name] = round(time.time() - t0, 3)
+            # best-of-2 here too: a single-shot leg is hostage to neighbor
+            # bursts on the shared host (observed 19s vs 175s for the same
+            # query inside one session)
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.time()
+                _force(qs[name](spark, sf1_dir))
+                best = min(best, time.time() - t0)
+            sf1_times[name] = round(best, 3)
         out["sf1"] = {
             "queries": sf1_times,
             "total": round(sum(sf1_times.values()), 3),
             "scale": "sf0.1 x10 deterministic replication",
-            "n_per_query": 1,
+            "n_per_query": repeats,
+            "protocol": f"sum_of_best_of_{repeats}",
         }
     spark.stop()
     return out

@@ -38,3 +38,20 @@ def test_benchmark_linking_vs_golden(spark):
     # coref stage produces real coref credit (the baseline scores 0 here)
     coref = out["spark_hyperlink_prior"]["IGNORED"]["mention_types"]["coref"]
     assert coref["true_positives"] >= 50
+
+
+def test_benchmark_linking_v1_generalizes(spark):
+    """The same 3-stage pipeline on wiki-fair (v1, no coref annotations)
+    also beats the reference baseline under the same evaluator semantics."""
+    out = run_benchmark_demo(
+        spark,
+        benchmark_path="/root/reference/benchmarks/wiki-fair.benchmark.jsonl")
+    ours = out["spark_hyperlink_prior"]["IGNORED"]["mention_types"]["all"]
+    import json as _json
+    golden = _json.load(open(
+        "/root/reference/evaluation-results/baseline/"
+        "baseline.wiki-fair.eval_results.json"))
+    gold = golden["IGNORED"]["mention_types"]["all"]
+    assert gold["ground_truth"] == 1167
+    assert 1150 <= ours["ground_truth"] <= 1180  # same denominator band
+    assert ours["f1"] > gold["f1"] + 0.15

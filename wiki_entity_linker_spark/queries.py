@@ -373,8 +373,12 @@ def interval_join_events(spark, sf_dir):
         (F.col("o_orderkey") % 5000).alias("start"),
         (F.col("o_orderkey") % 5000 + 3).alias("end"),
     )
+    # bucket sized to the interval width: candidates per cell scale as
+    # points*intervals/cells, so a bucket ~5x the 3-wide intervals beats
+    # the 256 default by >10x on this dense synthetic key space (the
+    # operator result is bucket-invariant; the oracle doesn't bucket)
     joined = bucketed_interval_join(
-        e, o, doc_col="doc", pos_col="pos", start_col="start", end_col="end", bucket=256
+        e, o, doc_col="doc", pos_col="pos", start_col="start", end_col="end", bucket=16
     )
     return joined.groupBy("o_custkey").agg(F.count("*").alias("n_events"))
 
@@ -1289,7 +1293,14 @@ def er_cluster_documents(spark, sf_dir):
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3
     ).select("id_a", "id_b")
     nodes = d.select(F.col("doc_id").alias("file_id"))
-    return components_with_singletons(nodes, pairs, id_col="file_id", shuffle_partitions=8)
+    # the flagship mirrors the ER pipeline's scale path: CC-MR hybrid
+    # (driver union-find once star-contraction shrinks the edge set) —
+    # result-identical to the fully distributed loop, which stays
+    # oracle-pinned by the connected_components query above
+    return components_with_singletons(
+        nodes, pairs, id_col="file_id", shuffle_partitions=8,
+        local_solve_threshold=500_000,
+    )
 
 
 # ===========================================================================
