@@ -181,3 +181,23 @@ def test_other_benchmarks_exact(bench_name, linker):
             for k in ("true_positives", "false_positives",
                       "false_negatives", "ground_truth"):
                 assert row[k] == wrow[k], (mode, bucket, k, row[k], wrow[k])
+
+
+def test_empty_inputs_do_not_crash():
+    """Degenerate articles: no labels, no predictions, empty text."""
+    from wiki_entity_linker_spark.eval.elevant_cases import (
+        Label, Prediction)
+
+    assert evaluate_article("", [], []) == []
+    lab = [Label(0, (0, 3), "Q1", "Foo")]
+    cases = evaluate_article("Foo bar", lab, [])
+    assert len(cases) == 1
+    assert cases[0].eval_types["IGNORED"] == ("FN",)
+    # prediction on empty label set -> one FP case
+    cases = evaluate_article(
+        "Foo bar", [], [Prediction((0, 3), "Q1", "Foo")])
+    assert len(cases) == 1
+    assert cases[0].eval_types["IGNORED"] == ("FP",)
+    # aggregation over empty case lists
+    out = aggregate([[]], "IGNORED")
+    assert out["all"]["ground_truth"] == 0 and out["all"]["f1"] == 0
