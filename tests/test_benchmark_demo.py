@@ -30,9 +30,10 @@ def test_benchmark_linking_vs_golden(spark):
     # own linkers it spans 2005..2014 — ours must land in the same band
     assert 2000 <= ours["ground_truth"] <= 2020
     # exact regression pin for the 3-stage pipeline (hyperlink-prior linker
-    # + person-pronoun coref), measured under the validated evaluator
-    assert ours["true_positives"] == 1074
-    assert ours["false_positives"] == 221
+    # + person-pronoun + uniqueness-gated nominal coref), measured under
+    # the validated evaluator
+    assert ours["true_positives"] == 1088
+    assert ours["false_positives"] == 236
     # the pipeline beats the reference baseline's F1=0.4428
     assert ours["f1"] > golden["f1"] + 0.15
     # coref stage produces real coref credit (the baseline scores 0 here)
