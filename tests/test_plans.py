@@ -160,3 +160,17 @@ def test_elevant_cases_single_groupby_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_operators_scan_once(spark, sf001):
+    """The r4 shared-subtree fix: ngram/minhash near-dup plans must read
+    the documents table zero times in the FINAL plan (the one scan happens
+    at the eager checkpoint; every consumer then reads cached blocks).
+    A reappearing 'Scan parquet' means Catalyst is re-running the
+    tokenize/shingle subtree per consumer again."""
+    from wiki_entity_linker_spark.queries import minhash_neardup, ngram_jaccard
+
+    for q in (ngram_jaccard, minhash_neardup):
+        plan = _plan(q(spark, sf001))
+        assert plan.count("Scan parquet") == 0, q.__name__
+        assert "ExistingRDD" in plan, q.__name__
