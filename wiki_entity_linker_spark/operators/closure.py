@@ -154,14 +154,18 @@ def connected_components(
     convergence.
     """
     def _stats(d: DataFrame) -> tuple:
-        """Cheap set fingerprint: (count, sum of row hashes) in ONE job —
-        an exceptAll-based convergence test costs a full extra shuffle per
-        round and dominated wall time at scale."""
+        """Cheap set fingerprint: (count, two independently-seeded xors of
+        row hashes) in ONE job — an exceptAll-based convergence test costs a
+        full extra shuffle per round and dominated wall time at scale. Two
+        64-bit hashes (xxhash64 seeds differ via an extra literal column)
+        push the same-count collision odds from ~2^-64 to ~2^-128: a set
+        change only goes unnoticed if BOTH xors collide simultaneously."""
         r = d.agg(
             F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h1"),
+            F.expr("bit_xor(xxhash64(u, v, 1658234568))").alias("h2"),
         ).collect()[0]
-        return (r["n"], r["h"])
+        return (r["n"], r["h1"], r["h2"])
 
     spark = edges.sparkSession
     converged = False
