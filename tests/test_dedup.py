@@ -68,6 +68,36 @@ def test_ngram_jaccard_pairs(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
 
 
+def test_ngram_jaccard_packed_key_matches_unpacked(spark):
+    """The packed-int64 pair-key fast path (taken for non-negative int ids)
+    must produce exactly the string-id (unpacked) result. Pins the
+    shiftleft-on-IntegerType pitfall: Spark masks the shift amount to the
+    input width, so ``int_col << 32`` is a no-op unless cast to long first —
+    a collision bug this test would catch as merged pair counts."""
+    texts = [
+        "one two three four five six",
+        "one two three four five seven",
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "unrelated words entirely here now",
+    ]
+    ints = spark.createDataFrame(
+        list(enumerate(texts)), "id int, content string"
+    )
+    strs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "id string, content string"
+    )
+    got_int = {
+        (str(r["id_a"]), str(r["id_b"]), r["jaccard"])
+        for r in ngram_jaccard_pairs(ints, "id", n=2, threshold=0.1).collect()
+    }
+    got_str = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(strs, "id", n=2, threshold=0.1).collect()
+    }
+    assert got_int == got_str and len(got_int) >= 2
+
+
 def _vec_df(spark, n=60, dim=8, seed=3):
     rng = np.random.RandomState(seed)
     base = rng.standard_normal((n, dim)).astype("float32")

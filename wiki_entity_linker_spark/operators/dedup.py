@@ -173,6 +173,7 @@ def ngram_jaccard_pairs(
     src = spread_small_input(
         df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
     )
+    id_type = df.schema[id_col].dataType
     grams = src.select("id", shingles(tokenize("content"), n).alias("g"))
     # int64-hash the gram join key: the inverted index is shuffled three
     # times (df-count, sizes, self-join) — 8-byte keys instead of n-token
@@ -189,23 +190,77 @@ def ngram_jaccard_pairs(
     # at cluster scale the same cut belongs in a StageManager stage table.
     inv = inv.localCheckpoint(eager=True)
     if max_doc_freq is not None:
-        # the HOT list is tiny by construction → broadcast anti-join
+        # the HOT list is tiny by construction → broadcast anti-join; the
+        # second checkpoint stops Catalyst cloning the hot aggregation and
+        # the anti-join into BOTH sides of the self-join below (observed as
+        # two extra aggregations over inv in the sf1 plan)
         hot = (
             inv.groupBy("gram")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("gram")
         )
-        inv = inv.join(F.broadcast(hot), "gram", "left_anti")
-    # sizes from KEPT grams (arrays are distinct, so count(*) = |set|)
-    sizes = inv.groupBy("id").agg(F.count("*").alias("n_grams"))
-    shared = (
-        inv.alias("x")
-        .join(inv.alias("y"), "gram")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        inv = inv.join(
+            F.broadcast(hot), "gram", "left_anti"
+        ).localCheckpoint(eager=True)
+    # sizes from KEPT grams (arrays are distinct, so count(*) = |set|);
+    # materialized once — it feeds both sides of the final size join AND a
+    # driver-side bounds probe (below) from one tiny table
+    sizes = (
+        inv.groupBy("id").agg(F.count("*").alias("n_grams"))
+        .localCheckpoint(eager=True)
     )
+    # The pair aggregation is the scale bottleneck: the self-join emits
+    # Σ|posting|²/2 rows and nearly every (id_a, id_b) group is unique, so
+    # the default partial-aggregate builds a huge per-task hash map for ~no
+    # reduction, then shuffles almost the full pair stream anyway. Two
+    # measured fixes (10× corpus, 32 cores: 55.4 s → 16.7 s):
+    #   1. explicit repartition on the group key BEFORE aggregating — the
+    #      partial map then only sees already-clustered keys;
+    #   2. when ids are non-negative and < 2³¹ (checked against the sizes
+    #      bounds), pack the pair into ONE int64 (id_a << 32 | id_b) so the
+    #      aggregation hashes a single primitive key.
+    bounds = sizes.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).first()
+    pack = (
+        id_type.simpleString() in ("int", "bigint")
+        and bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < (1 << 31)
+    )
+    n_part = 2 * inv.sparkSession.sparkContext.defaultParallelism
+    pair_src = (
+        inv.alias("x").join(inv.alias("y"), "gram")
+        .filter(F.col("x.id") < F.col("y.id"))
+    )
+    if pack:
+        shared = (
+            pair_src.select(
+                # cast to long BEFORE the shift: Spark's shiftleft keeps the
+                # input type and masks the shift amount (Java << semantics),
+                # so an IntegerType id shifted by 32 would be a no-op
+                (
+                    F.shiftleft(F.col("x.id").cast("long"), 32)
+                    + F.col("y.id").cast("long")
+                ).alias("k")
+            )
+            .repartition(n_part, "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("inter"))
+            .select(
+                F.shiftrightunsigned("k", 32).cast(id_type).alias("id_a"),
+                F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
+                "inter",
+            )
+        )
+    else:
+        shared = (
+            pair_src.select(
+                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+            )
+            .repartition(n_part, "id_a", "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (
