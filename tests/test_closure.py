@@ -110,3 +110,70 @@ def test_transitive_closure_raises_on_depth_overflow(spark):
         transitive_closure(df, max_depth=20)
     got = transitive_closure(df, max_depth=64)
     assert got.count() == 61 * 60 // 2  # full reachability of the chain
+
+
+def _cluster_sets(rows) -> set[frozenset]:
+    from collections import defaultdict
+
+    d = defaultdict(set)
+    for r in rows:
+        d[r["component"]].add(r["id"])
+    return {frozenset(v) for v in d.values()}
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Incremental absorb (base comps + new edges) must equal one CC over
+    the union — clusters AND labels (labels are min member id in both)."""
+    from wiki_entity_linker_spark.operators.closure import merge_components
+
+    old_edges = [("a", "b"), ("c", "d"), ("e", "f")]
+    # batch: n1 joins {a,b}; n2 bridges {c,d} and {e,f}; n3 singleton;
+    # A0 sorts BEFORE every old id → merged cluster relabels to A0
+    new_edges = [("n1", "a"), ("n2", "d"), ("n2", "e"), ("A0", "b")]
+    new_nodes = ["A0", "n1", "n2", "n3"]
+
+    olddf = spark.createDataFrame(old_edges, "id_a string, id_b string")
+    nodes_old = spark.createDataFrame(
+        [(x,) for x in "abcdefg"], "file_id string"  # g: untouched singleton
+    )
+    old_comps = components_with_singletons(nodes_old, olddf, id_col="file_id")
+
+    merged = merge_components(
+        old_comps,
+        spark.createDataFrame(new_edges, "id_a string, id_b string"),
+        spark.createDataFrame([(n,) for n in new_nodes], "id string"),
+    ).collect()
+
+    full = components_with_singletons(
+        spark.createDataFrame(
+            [(x,) for x in list("abcdefg") + new_nodes], "file_id string"
+        ),
+        spark.createDataFrame(old_edges + new_edges, "id_a string, id_b string"),
+        id_col="file_id",
+    ).collect()
+
+    got = {r["id"]: r["component"] for r in merged}
+    want = {r["id"]: r["component"] for r in full}
+    assert got == want  # exact label parity, not just partition parity
+    # untouched cluster keeps its label verbatim
+    assert got["g"] == "g"
+    # bridge: one cluster {c,d,e,f,n2} labeled "c"
+    assert {got[x] for x in "cdef"} == {"c"} and got["n2"] == "c"
+    # new-min relabel: {a,b,A0,n1} labeled "A0" (full recompute agrees)
+    assert got["a"] == "A0" == want["a"]
+
+
+def test_merge_components_empty_batch(spark):
+    from wiki_entity_linker_spark.operators.closure import merge_components
+
+    old = components_with_singletons(
+        spark.createDataFrame([("a",), ("b",)], "file_id string"),
+        spark.createDataFrame([("a", "b")], "id_a string, id_b string"),
+        id_col="file_id",
+    )
+    out = merge_components(
+        old,
+        spark.createDataFrame([], "id_a string, id_b string"),
+        spark.createDataFrame([], "id string"),
+    ).collect()
+    assert {r["id"]: r["component"] for r in out} == {"a": "a", "b": "a"}

@@ -223,3 +223,52 @@ def test_ivf_hot_cell_guard(spark):
     got = {r["vec_id"] for r in guarded.collect()}
     assert guarded.count() == 2 * 5
     assert got == {0, 1, 2, 3, 4}  # lowest-id survivors, deterministic
+
+
+def test_minhash_incremental_equals_oneshot(spark):
+    """Incremental clustering (base + batch probe) must equal one-shot
+    clustering of the union — same partition, same min-member labels."""
+    from wiki_entity_linker_spark.operators.closure import (
+        components_with_singletons,
+    )
+    from wiki_entity_linker_spark.operators.dedup import (
+        minhash_neardup_clusters_incremental,
+    )
+
+    rng_words = [f"w{i}" for i in range(40)]
+    rows = []
+    # family A: near-identical docs split across base and batch
+    fam_a = " ".join(rng_words[:20])
+    rows.append((1, fam_a))
+    rows.append((2, fam_a + " extra"))
+    rows.append((11, fam_a + " tail tok"))      # batch member joins A
+    # family B entirely in batch
+    fam_b = " ".join(rng_words[20:36])
+    rows.append((12, fam_b))
+    rows.append((13, fam_b + " more"))
+    # singletons both sides
+    rows.append((3, "alpha beta gamma delta epsilon zeta"))
+    rows.append((14, "uno dos tres cuatro cinco seis"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = df.filter(F.col("doc_id") < 10)
+    batch = df.filter(F.col("doc_id") >= 10)
+
+    inc = minhash_neardup_clusters_incremental(
+        base, batch, "doc_id", "text",
+        k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3,
+    ).collect()
+
+    full_pairs = minhash_neardup_pairs(
+        df, "doc_id", "text",
+        k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3,
+    ).select("id_a", "id_b")
+    full = components_with_singletons(
+        df.select(F.col("doc_id").alias("file_id")), full_pairs,
+        id_col="file_id",
+    ).collect()
+
+    got = {r["id"]: r["component"] for r in inc}
+    want = {r["id"]: r["component"] for r in full}
+    assert got == want
+    assert got[11] == got[1]  # batch doc joined the base family
+    assert got[12] == got[13] != got[1]  # batch-internal family

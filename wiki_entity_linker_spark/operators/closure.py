@@ -282,3 +282,98 @@ def transitive_closure(
                 f"logarithmically) or break cycles upstream."
             )
     return closure.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+
+def merge_components(
+    old_comps: DataFrame,
+    edges: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    local_solve_threshold: int = 0,
+) -> DataFrame:
+    """Absorb a batch of new nodes into an existing components labeling
+    WITHOUT re-running connected components over the old graph.
+
+    The incremental-append primitive (north-rule scale path): at 10^12 files
+    a daily batch must not re-cluster the corpus, and it doesn't need to —
+    ``old_comps`` is already transitively closed, so every old endpoint of a
+    new edge can be CONTRACTED to its component label. The merge graph then
+    contains only new nodes and touched old component labels: its size is
+    O(batch), independent of the corpus.
+
+    Inputs:
+
+    * ``old_comps`` — ``(id, component)``, transitively closed (labels =
+      min member id, as produced by :func:`components_with_singletons`);
+    * ``edges`` — new match edges; endpoints may be new-node ids or old ids
+      (old endpoints are contracted via ``old_comps``);
+    * ``new_nodes`` — the batch's node ids, DISJOINT from ``old_comps``
+      (unmatched ones become singleton clusters).
+
+    Output ``(id, component)`` over old ∪ new nodes, with two guarantees:
+
+    * clusters untouched by any new edge keep their component label
+      verbatim (stable ids across appends);
+    * touched clusters relabel to min(member id) over the merged cluster —
+      exactly what a full recompute over old ∪ new would produce, so
+      incremental == batch for any edge set (the label of a contracted old
+      cluster IS its min member, so min over the mini graph's nodes equals
+      min over the underlying members).
+    """
+    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    for side in ("id_a", "id_b"):
+        e = (
+            e.join(
+                old_comps.select(
+                    F.col(id_col).alias(side), F.col(comp_col).alias("__c")
+                ),
+                side,
+                "left",
+            )
+            .withColumn(side, F.coalesce("__c", F.col(side)))
+            .drop("__c")
+        )
+    e = e.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    # node set of the mini graph: all new nodes (singleton guarantee) plus
+    # every contracted endpoint, so touched old labels appear in the output
+    # of the mini solve and feed the relabel map below
+    nodes = (
+        new_nodes.select(F.col(id_col).alias("id"))
+        .unionByName(e.select(F.col("id_a").alias("id")))
+        .unionByName(e.select(F.col("id_b").alias("id")))
+    )
+    mini = components_with_singletons(
+        nodes,
+        e,
+        id_col="id",
+        max_iter=max_iter,
+        local_solve_threshold=local_solve_threshold,
+    )
+    # touched-cluster relabel map: rows of the mini solve whose node id IS an
+    # old component label; batch-sized by construction → broadcast
+    old_labels = old_comps.select(F.col(comp_col).alias("id")).dropDuplicates(["id"])
+    merge_map = (
+        mini.join(old_labels, "id", "left_semi")
+        .select(F.col("id").alias("__old_c"), F.col("component").alias("__new_c"))
+        .filter(F.col("__old_c") != F.col("__new_c"))
+    )
+    relabeled_old = (
+        old_comps.join(
+            F.broadcast(merge_map), F.col(comp_col) == F.col("__old_c"), "left"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce("__new_c", F.col(comp_col)).alias("component"),
+        )
+    )
+    new_assign = mini.join(
+        new_nodes.select(F.col(id_col).alias("id")), "id", "left_semi"
+    ).select("id", "component")
+    return relabeled_old.unionByName(new_assign)

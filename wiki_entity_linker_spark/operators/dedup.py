@@ -88,6 +88,108 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_neardup_clusters_incremental(
+    base_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    k_shingle: int = 5,
+    n_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    local_solve_threshold: int = 500_000,
+) -> DataFrame:
+    """Cluster ``base_df``, then absorb ``new_df`` incrementally —
+    result-identical to clustering base ∪ new in one shot.
+
+    Why exact (not approximate): MinHash signatures and band keys are
+    per-document functions of content, so the one-shot run's candidate set
+    splits exactly into (base × base) — already resolved inside the base
+    clustering — plus (new × base) ∪ (new × new), which the probe join
+    below regenerates verbatim. Old edge endpoints are then contracted to
+    their transitively-closed component labels
+    (:func:`~wiki_entity_linker_spark.operators.closure.merge_components`),
+    so the merged partition AND its min-member labels equal the full
+    recompute (the registered query pins this against the one-shot
+    recursive-CTE oracle).
+
+    Scale shape: the batch contributes O(batch + touched) work — the base
+    block table is semi-joined down to the batch's band keys before the
+    probe, and only touched base docs' shingle sets feed the Jaccard
+    verify. Here the base artifacts are recomputed from ``base_df`` because
+    the operator is self-contained; the checkpointed ER pipeline persists
+    them as stage tables instead (plans/er_incremental.py), making a real
+    append O(batch) end to end.
+    """
+    from wiki_entity_linker_spark.operators.closure import (
+        components_with_singletons,
+        merge_components,
+    )
+
+    base = spread_small_input(base_df)
+    new = spread_small_input(new_df)
+    toks_b = base.select(
+        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+    ).localCheckpoint(eager=True)
+    toks_n = new.select(
+        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+    ).localCheckpoint(eager=True)
+    blocks_b = lsh_band_blocks(
+        minhash_from_shingles(toks_b, id_col, "sh", n_hashes), id_col, bands, n_hashes
+    ).localCheckpoint(eager=True)
+    blocks_n = lsh_band_blocks(
+        minhash_from_shingles(toks_n, id_col, "sh", n_hashes), id_col, bands, n_hashes
+    ).localCheckpoint(eager=True)
+
+    def _verify(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+        a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = toks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .filter(F.round(token_jaccard("sh_a", "sh_b"), 6) >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+
+    base_comps = components_with_singletons(
+        base.select(F.col(id_col).alias("file_id")),
+        _verify(pairs_from_blocks(blocks_b, id_col), toks_b),
+        id_col="file_id",
+        local_solve_threshold=local_solve_threshold,
+    )
+
+    # probe: batch band keys against the base block table (semi-join keeps
+    # the base side O(touched)), plus the batch-internal pairs
+    new_keys = blocks_n.select("block_key").dropDuplicates(["block_key"])
+    probe_b = blocks_b.join(F.broadcast(new_keys), "block_key", "left_semi")
+    cross = (
+        blocks_n.select("block_key", F.col(id_col).alias("__n"))
+        .join(probe_b.select("block_key", F.col(id_col).alias("__b")), "block_key")
+        .select(
+            F.least("__n", "__b").alias("id_a"),
+            F.greatest("__n", "__b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    pairs = (
+        cross.unionByName(pairs_from_blocks(blocks_n, id_col))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    touched = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates([id_col])
+    )
+    toks_touch = toks_b.join(touched, id_col, "left_semi").unionByName(toks_n)
+    edges = _verify(pairs, toks_touch)
+    return merge_components(
+        base_comps,
+        edges,
+        new.select(F.col(id_col).alias("id")),
+        local_solve_threshold=local_solve_threshold,
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, content_col: str = "content", bits: int = 32
 ) -> DataFrame:

@@ -38,6 +38,7 @@ from wiki_entity_linker_spark.operators.closure import (
 from wiki_entity_linker_spark.operators.dedup import (
     embedding_neardup_lsh_pairs,
     exact_dedup,
+    minhash_neardup_clusters_incremental,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -1299,6 +1300,28 @@ def er_cluster_documents(spark, sf_dir):
     # oracle-pinned by the connected_components query above
     return components_with_singletons(
         nodes, pairs, id_col="file_id", shuffle_partitions=8,
+        local_solve_threshold=500_000,
+    )
+
+
+@q("er_incremental_documents", _cc_oracle(16, 8, 3, 0.3))
+def er_incremental_documents(spark, sf_dir):
+    """Incremental append: cluster 90% of the documents table as the base
+    corpus, then absorb the remaining 10% (doc_id % 10 == 9) by probing
+    only the batch's band keys against the base block table and merging
+    through the already-closed base components (operators/closure.py
+    merge_components). Oracle-checked against the SAME one-shot
+    recursive-CTE oracle as er_cluster_documents: the incremental result is
+    provably identical to the full recompute — partition and min-id labels
+    both — which is exactly the property a 10^12-file daily-append pipeline
+    needs (north_rule scale path; the reference rebuilds its databases from
+    scratch per dump, Makefile:178-198)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 9)
+    batch = d.filter(F.col("doc_id") % 10 == 9)
+    return minhash_neardup_clusters_incremental(
+        base, batch, "doc_id", "text",
+        k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3,
         local_solve_threshold=500_000,
     )
 
