@@ -1,0 +1,136 @@
+"""Incremental ER append (plans/er_incremental.py) vs full-recompute replay
+on the deterministic fixture corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.operators.blocking import with_file_id
+from wiki_entity_linker_spark.plans.er_incremental import run_er_incremental
+from wiki_entity_linker_spark.plans.er_pipeline import run_er_pipeline
+
+
+def _assign_map(df) -> dict:
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def _normalized(assign: dict) -> dict:
+    """id → min member id of its cluster (label-independent partition)."""
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for i, c in assign.items():
+        members[c].append(i)
+    return {i: min(v) for v in members.values() for i in v}
+
+
+def _split_by_file_id(spark, corpus_dir, frac=0.9):
+    """base = smallest `frac` of file_ids, batch = rest. Batch ids sorting
+    AFTER every base id keeps exact-dup representatives first-writer-stable
+    across the replay (the incremental contract), so labels stay comparable
+    to the one-shot run."""
+    src = spark.read.parquet(f"{corpus_dir}/source_files.parquet")
+    ids = sorted(r["file_id"] for r in with_file_id(src).select("file_id").collect())
+    cutoff = ids[int(len(ids) * frac)]
+    tagged = with_file_id(src)
+    base = tagged.filter(F.col("file_id") < cutoff).drop("file_id")
+    batch = tagged.filter(F.col("file_id") >= cutoff).drop("file_id")
+    return src, base, batch
+
+
+def test_incremental_matches_full_run(spark, tiny_corpus_dir, tmp_path):
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir)
+    labeled = spark.read.parquet(f"{tiny_corpus_dir}/labeled_pairs.parquet")
+
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"))
+    base_out = run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    inc = run_er_incremental(
+        spark, str(tmp_path / "base"), batch, str(tmp_path / "inc"),
+        labeled_pairs=labeled,
+    )
+
+    got = _assign_map(inc["assignment"])
+    want = _assign_map(full["assignment"])
+    assert set(got) == set(want)
+    assert _normalized(got) == _normalized(want)  # identical partitions
+    # the incremental labeling still matches the fixture's gold pairs
+    m = {r["slice"]: r for r in inc["metrics"].collect()}
+    assert m["all"]["f1"] == 1.0
+    # untouched base clusters keep their component ids verbatim
+    base_assign = _assign_map(base_out["assignment"])
+    touched_labels = {
+        c for i, c in got.items() if i not in base_assign or base_assign[i] != c
+    }
+    stable = {i: c for i, c in base_assign.items() if c not in touched_labels}
+    assert stable  # the split leaves most clusters untouched
+    assert all(got[i] == c for i, c in stable.items())
+    for o in (full, base_out, inc):
+        o["_cleanup"]()
+
+
+def test_incremental_hash_hit_fast_path(spark, tiny_corpus_dir, tmp_path):
+    """A batch of pure exact duplicates joins existing clusters through the
+    content-hash index alone: no new representatives, no features, no
+    candidate pairs, no scoring."""
+    src = with_file_id(
+        spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet")
+    ).drop("file_id")
+    base_out = run_er_pipeline(spark, src, None, str(tmp_path / "base"))
+    dup_batch = (
+        src.orderBy("repo", "path", "commit")
+        .limit(5)
+        .withColumn("repo", F.concat(F.lit("mirror/"), F.col("repo")))
+    )
+    inc = run_er_incremental(
+        spark, str(tmp_path / "base"), dup_batch, str(tmp_path / "inc")
+    )
+    groups = inc["batch_groups"].collect()
+    assert groups and all(not r["is_new"] for r in groups)
+    assert inc["features"].count() == 0  # batch features: nothing new
+    assert inc["pairs"].count() == 0
+    # every mirrored file landed in its content-twin's cluster
+    base_assign = _assign_map(base_out["assignment"])
+    got = _assign_map(inc["assignment"])
+    twins = {
+        r["file_id"]: r["twin"]
+        for r in with_file_id(dup_batch)
+        .select("file_id", "path", "commit")
+        .join(
+            with_file_id(src).select(
+                F.col("file_id").alias("twin"), "path", "commit"
+            ),
+            ["path", "commit"],
+        )
+        .collect()
+    }
+    assert twins and all(got[m] == base_assign[t] for m, t in twins.items())
+    base_out["_cleanup"]()
+    inc["_cleanup"]()
+
+
+def test_incremental_chains_across_batches(spark, tiny_corpus_dir, tmp_path):
+    """Append twice (base → b1 → b2): the merged canonical stage tables of
+    one append serve as the base of the next, and the final partition equals
+    the one-shot run over everything."""
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir, frac=0.8)
+    ids = sorted(r["file_id"] for r in with_file_id(batch).select("file_id").collect())
+    mid = ids[len(ids) // 2]
+    b1 = with_file_id(batch).filter(F.col("file_id") < mid).drop("file_id")
+    b2 = with_file_id(batch).filter(F.col("file_id") >= mid).drop("file_id")
+
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    inc1 = run_er_incremental(spark, str(tmp_path / "base"), b1, str(tmp_path / "i1"))
+    inc2 = run_er_incremental(spark, str(tmp_path / "i1"), b2, str(tmp_path / "i2"))
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"))
+
+    assert _normalized(_assign_map(inc2["assignment"])) == _normalized(
+        _assign_map(full["assignment"])
+    )
+    inc1["_cleanup"](), inc2["_cleanup"](), full["_cleanup"]()
+
+
+def test_incremental_guards(spark, tiny_corpus_dir, tmp_path):
+    src = spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet")
+    with pytest.raises(ValueError, match="must differ"):
+        run_er_incremental(spark, str(tmp_path / "x"), src, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="checkpointed stage tables"):
+        run_er_incremental(spark, str(tmp_path / "missing"), src, str(tmp_path / "y"))

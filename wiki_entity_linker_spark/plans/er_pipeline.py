@@ -113,6 +113,140 @@ class ERConfig:
     extra: dict = field(default_factory=dict)
 
 
+def ingest_projection(raw: DataFrame) -> DataFrame:
+    """Metadata + per-row invariant hashes ONLY — no content column (see the
+    memory-contract note in :func:`run_er_pipeline`). Shared with the
+    incremental append path (plans/er_incremental.py) so both compute
+    identical content identities."""
+    return raw.select(
+        "file_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("sha256"),
+        F.sha2(normalize_content("content"), 256).alias("content_hash"),
+    )
+
+
+def build_features(rep_rows: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Per-doc feature table from ``(file_id, path, lang, content)`` rows —
+    ONE pass over content, shared by blocking and scoring:
+
+    * ``hsh``: xxhash64 of each distinct k-shingle (int64 array),
+    * ``tfu``/``tfc``/``tfn``: compressed TF (sorted unique hashed tokens,
+      counts, precomputed norm) so the pair cosine is one Arrow pass,
+    * ``stem``/``defs``/``fname``: alias blocking keys.
+
+    Int arrays are ~10× cheaper to intersect per pair than string shingle
+    arrays; raw content is never cached or shuffled anywhere.
+    """
+    return (
+        rep_rows.select(
+            "file_id",
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            path_stem_key("path").alias("stem"),
+            def_name_keys("content").alias("defs"),
+            F.transform(
+                shingles(tokenize("content"), cfg.k_shingle), lambda s: F.xxhash64(s)
+            ).alias("hsh"),
+            tf_compress_udf(hashed_tokens(tokenize("content"))).alias("tf"),
+        )
+        .select(
+            "file_id",
+            "fname",
+            "stem",
+            "defs",
+            "hsh",
+            F.col("tf.u").alias("tfu"),
+            F.col("tf.c").alias("tfc"),
+        )
+        .withColumn(
+            "tfn",
+            F.sqrt(
+                F.aggregate(
+                    "tfc",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+        )
+    )
+
+
+def raw_block_keys(
+    feats: DataFrame,
+    cfg: ERConfig,
+    reps: DataFrame | None = None,
+    alias_dict: DataFrame | None = None,
+) -> DataFrame:
+    """All blocking keys (alias-dictionary ∪ LSH bands) from the feature
+    table — UNCAPPED and UNSALTED. The full pipeline caps+salts this before
+    its pair self-join; the incremental path probes it directly (a new
+    member must see every old member of a shared block, so the probe join
+    works on raw keys and applies the stopword cap on combined sizes)."""
+    ab = alias_blocks_from_features(feats)
+    sigs = minhash_from_hashes(feats, "file_id", "hsh", cfg.n_hashes)
+    lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
+    blocks = ab.unionByName(lb)
+    if alias_dict is not None and reps is not None:
+        blocks = blocks.unionByName(alias_dict_blocks(reps, alias_dict))
+    return blocks
+
+
+def score_pairs(pairs: DataFrame, feats: DataFrame) -> DataFrame:
+    """Similarity scores for candidate pairs over the per-doc int features;
+    Arrow UDFs only for the cosine (numpy) and name Jaro-Winkler."""
+    a = feats.select(
+        F.col("file_id").alias("id_a"),
+        F.col("hsh").alias("hsh_a"),
+        F.col("tfu").alias("tfu_a"),
+        F.col("tfc").alias("tfc_a"),
+        F.col("tfn").alias("tfn_a"),
+        F.col("fname").alias("fname_a"),
+    )
+    b = feats.select(
+        F.col("file_id").alias("id_b"),
+        F.col("hsh").alias("hsh_b"),
+        F.col("tfu").alias("tfu_b"),
+        F.col("tfc").alias("tfc_b"),
+        F.col("tfn").alias("tfn_b"),
+        F.col("fname").alias("fname_b"),
+    )
+    # No repartition between the joins and the scorer projection: the
+    # join output already moves every feature array once per side, and a
+    # third array shuffle dominated the stage at larger corpora (the
+    # joined arrays are the payload — ids are noise). Partition-count
+    # floors are handled by spark.sql.shuffle.partitions = cores.
+    dot = tf_dot_udf("tfu_a", "tfc_a", "tfu_b", "tfc_b")
+    tf_cos = (
+        F.when((F.col("tfn_a") == 0) & (F.col("tfn_b") == 0), F.lit(1.0))
+        .when((F.col("tfn_a") == 0) | (F.col("tfn_b") == 0), F.lit(0.0))
+        .otherwise(dot / (F.col("tfn_a") * F.col("tfn_b")))
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(token_jaccard("hsh_a", "hsh_b"), 6).alias("shingle_jaccard"),
+            F.round(tf_cos, 6).alias("tf_cosine"),
+            F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
+        )
+    )
+
+
+def match_edges(scores: DataFrame, cfg: ERConfig) -> DataFrame:
+    """Deterministic decision rule → match edges. Content-only on purpose:
+    name_jw is reported for analysis but does not gate (a renamed exact
+    near-copy must still match)."""
+    is_match = (F.col("shingle_jaccard") >= cfg.jaccard_threshold) | (
+        F.col("tf_cosine") >= cfg.cosine_threshold
+    )
+    return scores.filter(is_match).select("id_a", "id_b")
+
+
 def run_er_pipeline(
     spark: SparkSession,
     source_files: DataFrame,
@@ -154,25 +288,14 @@ def run_er_pipeline(
         spread_small_input(source_files, min_factor=1.0, target_factor=2)
     )
 
-    def _ingest() -> DataFrame:
-        # Metadata + invariants ONLY. Do NOT fold the feature expressions in
-        # here: one giant projection exceeds the whole-stage-codegen method
-        # limit, Spark falls back to INTERPRETED expression eval, and the
-        # higher-order shingle lambdas then re-evaluate tokenize(content)
-        # per array element — observed as a single task pinning a core for
-        # 10+ minutes (codegen's common-subexpression elimination is what
-        # makes the inlined HOF form safe).
-        return raw.select(
-            "file_id",
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            F.sha2("content", 256).alias("sha256"),
-            F.sha2(normalize_content("content"), 256).alias("content_hash"),
-        )
-
-    ingested = mgr.stage("ingest", _ingest)
+    # Metadata + invariants ONLY (ingest_projection). Do NOT fold the
+    # feature expressions in here: one giant projection exceeds the
+    # whole-stage-codegen method limit, Spark falls back to INTERPRETED
+    # expression eval, and the higher-order shingle lambdas then re-evaluate
+    # tokenize(content) per array element — observed as a single task
+    # pinning a core for 10+ minutes (codegen's common-subexpression
+    # elimination is what makes the inlined HOF form safe).
+    ingested = mgr.stage("ingest", lambda: ingest_projection(raw))
 
     # 2. exact-duplicate groups; representatives carry all downstream cost.
     # Deliberately NO collect_list of member ids: a pathological duplicate
@@ -198,121 +321,41 @@ def run_er_pipeline(
         .repartition(n_part, "file_id")
     )
 
-    # Per-doc features, ONE pass over representatives' content, shared by
-    # blocking and scoring — the only bulk cache in the pipeline:
-    # * hsh:  xxhash64 of each distinct k-shingle (int64 array),
-    # * tfu/tfc/tfn: compressed TF (sorted unique hashed tokens, counts,
-    #   precomputed norm) so the pair cosine is one Arrow pass per pair,
-    # * stem/defs/fname: alias blocking keys.
-    # Int arrays are ~10× cheaper to intersect per pair than string shingle
-    # arrays; raw content is never cached or shuffled anywhere.
-    feats = (
-        reps.select(
-            "file_id",
-            F.element_at(F.split("path", "/"), -1).alias("fname"),
-            path_stem_key("path").alias("stem"),
-            def_name_keys("content").alias("defs"),
-            F.transform(
-                shingles(tokenize("content"), cfg.k_shingle), lambda s: F.xxhash64(s)
-            ).alias("hsh"),
-            tf_compress_udf(hashed_tokens(tokenize("content"))).alias("tf"),
-        )
-        .select(
-            "file_id",
-            "fname",
-            "stem",
-            "defs",
-            "hsh",
-            F.col("tf.u").alias("tfu"),
-            F.col("tf.c").alias("tfc"),
-        )
-        .withColumn(
-            "tfn",
-            F.sqrt(
-                F.aggregate(
-                    "tfc",
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                )
-            ),
-        )
-        .persist()
+    # 2b. per-doc features (build_features): ONE content pass, shared by
+    # blocking and scoring. A checkpointed STAGE TABLE (not just a cache)
+    # since round 4: the incremental append path (plans/er_incremental.py)
+    # reads it back to score new-vs-old candidate pairs without touching old
+    # content — the stage-table cost is the price of O(batch) appends.
+    feats = mgr.stage("features", lambda: build_features(reps, cfg))
+    if checkpoint:
+        # stage tables are parquet-backed; keep the hot copy in memory too
+        # (blocking + scoring both traverse it)
+        feats = feats.persist()
+
+    # 3. blocking: alias-dictionary ∪ LSH bands (raw_block_keys — also a
+    # stage table, the incremental path's probe index), then fused
+    # stopword-cap + salting for the pair self-join. Every key family
+    # derives from the per-doc feature table (no second content pass).
+    raw_blocks = mgr.stage(
+        "raw_blocks",
+        lambda: raw_block_keys(feats, cfg, reps=reps, alias_dict=alias_dict),
     )
-
-    # 3. blocking: alias-dictionary ∪ LSH bands; explicit skew reshaping.
-    # Every key family derives from the per-doc feature table (no second
-    # content pass).
-    def _blocks() -> DataFrame:
-        ab = alias_blocks_from_features(feats)
-        sigs = minhash_from_hashes(feats, "file_id", "hsh", cfg.n_hashes)
-        lb = lsh_band_blocks(sigs, "file_id", cfg.bands, cfg.n_hashes)
-        blocks = ab.unionByName(lb)
-        if alias_dict is not None:
-            blocks = blocks.unionByName(alias_dict_blocks(reps, alias_dict))
-        # fused stopword-cap + salting: ONE pass over the blocking subtree
-        # (the MinHash computation lives inside it — a drop→salt composition
-        # re-evaluated it once per union branch)
-        return cap_and_salt_blocks(
-            blocks, max_size=cfg.stopword_block_max, cap=cfg.salt_cap
-        )
-
-    blocks = mgr.stage("blocks", _blocks)
+    blocks = mgr.stage(
+        "blocks",
+        lambda: cap_and_salt_blocks(
+            raw_blocks, max_size=cfg.stopword_block_max, cap=cfg.salt_cap
+        ),
+    )
 
     # 4. candidate pairs (canonical order, deduped across block types)
     pairs = mgr.stage("pairs", lambda: pairs_from_blocks(blocks))
 
-    # 5. scoring over the per-doc int features; Arrow UDF only for the
-    # cosine (numpy) and name Jaro-Winkler (vectorized kernel).
-    def _scores() -> DataFrame:
-        a = feats.select(
-            F.col("file_id").alias("id_a"),
-            F.col("hsh").alias("hsh_a"),
-            F.col("tfu").alias("tfu_a"),
-            F.col("tfc").alias("tfc_a"),
-            F.col("tfn").alias("tfn_a"),
-            F.col("fname").alias("fname_a"),
-        )
-        b = feats.select(
-            F.col("file_id").alias("id_b"),
-            F.col("hsh").alias("hsh_b"),
-            F.col("tfu").alias("tfu_b"),
-            F.col("tfc").alias("tfc_b"),
-            F.col("tfn").alias("tfn_b"),
-            F.col("fname").alias("fname_b"),
-        )
-        # No repartition between the joins and the scorer projection: the
-        # join output already moves every feature array once per side, and a
-        # third array shuffle dominated the stage at larger corpora (the
-        # joined arrays are the payload — ids are noise). Partition-count
-        # floors are handled by spark.sql.shuffle.partitions = cores.
-        dot = tf_dot_udf("tfu_a", "tfc_a", "tfu_b", "tfc_b")
-        tf_cos = (
-            F.when((F.col("tfn_a") == 0) & (F.col("tfn_b") == 0), F.lit(1.0))
-            .when((F.col("tfn_a") == 0) | (F.col("tfn_b") == 0), F.lit(0.0))
-            .otherwise(dot / (F.col("tfn_a") * F.col("tfn_b")))
-        )
-        return (
-            pairs.join(a, "id_a")
-            .join(b, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(token_jaccard("hsh_a", "hsh_b"), 6).alias("shingle_jaccard"),
-                F.round(tf_cos, 6).alias("tf_cosine"),
-                F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
-            )
-        )
-
-    scores = mgr.stage("scores", _scores)
+    # 5. scoring over the per-doc int features (score_pairs); Arrow UDF only
+    # for the cosine (numpy) and name Jaro-Winkler (vectorized kernel).
+    scores = mgr.stage("scores", lambda: score_pairs(pairs, feats))
 
     # 6. decision rule → edges (deterministic thresholds)
-    def _edges() -> DataFrame:
-        is_match = (F.col("shingle_jaccard") >= cfg.jaccard_threshold) | (
-            F.col("tf_cosine") >= cfg.cosine_threshold
-        )
-        return scores.filter(is_match).select("id_a", "id_b")
-
-    edges = mgr.stage("edges", _edges)
+    edges = mgr.stage("edges", lambda: match_edges(scores, cfg))
 
     # 7. large-star/small-star connected components over representatives
     # (node set from the small cached exact_groups table, not raw rows)
@@ -344,6 +387,8 @@ def run_er_pipeline(
     out: dict[str, DataFrame] = {
         "ingested": ingested,
         "exact_groups": exact_groups,
+        "features": feats,
+        "raw_blocks": raw_blocks,
         "blocks": blocks,
         "pairs": pairs,
         "scores": scores,
