@@ -85,7 +85,7 @@ def test_incremental_hash_hit_fast_path(spark, tiny_corpus_dir, tmp_path):
     )
     groups = inc["batch_groups"].collect()
     assert groups and all(not r["is_new"] for r in groups)
-    assert inc["features"].count() == 0  # batch features: nothing new
+    assert inc["batch_features"].count() == 0  # nothing new to featurize
     assert inc["pairs"].count() == 0
     # every mirrored file landed in its content-twin's cluster
     base_assign = _assign_map(base_out["assignment"])
@@ -125,6 +125,19 @@ def test_incremental_chains_across_batches(spark, tiny_corpus_dir, tmp_path):
     assert _normalized(_assign_map(inc2["assignment"])) == _normalized(
         _assign_map(full["assignment"])
     )
+    # canonical chain resolution: two-level delta chain equals the one-shot
+    # run's materialized tables (sizes summed across batches, first-writer
+    # reps == global-min reps under the id-ordered split)
+    full_exact = {
+        r["content_hash"]: (r["rep_id"], r["group_size"])
+        for r in full["exact_groups"].collect()
+    }
+    inc_exact = {
+        r["content_hash"]: (r["rep_id"], r["group_size"])
+        for r in inc2["exact_groups"].collect()
+    }
+    assert inc_exact == full_exact
+    assert inc2["features"].count() == full["features"].count()
     inc1["_cleanup"](), inc2["_cleanup"](), full["_cleanup"]()
 
 

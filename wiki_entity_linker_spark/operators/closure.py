@@ -337,10 +337,18 @@ def merge_components(
             .withColumn(side, F.coalesce("__c", F.col(side)))
             .drop("__c")
         )
-    e = e.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    ).filter(F.col("id_a") != F.col("id_b"))
+    e = (
+        e.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        # batch-sized by construction; materialize ONCE — the contraction
+        # joins above are otherwise re-evaluated by every downstream action
+        # (edge count, local-solve collect, mini-CC rounds, the caller's
+        # stage write), measured as ~3× the merge stage's wall time
+        .localCheckpoint(eager=True)
+    )
     # node set of the mini graph: all new nodes (singleton guarantee) plus
     # every contracted endpoint, so touched old labels appear in the output
     # of the mini solve and feed the relabel map below
@@ -355,7 +363,7 @@ def merge_components(
         id_col="id",
         max_iter=max_iter,
         local_solve_threshold=local_solve_threshold,
-    )
+    ).localCheckpoint(eager=True)  # consumed 3×: merge map, relabel, new rows
     # touched-cluster relabel map: rows of the mini solve whose node id IS an
     # old component label; batch-sized by construction → broadcast
     old_labels = old_comps.select(F.col(comp_col).alias("id")).dropDuplicates(["id"])

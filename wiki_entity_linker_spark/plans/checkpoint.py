@@ -53,6 +53,9 @@ class ParquetStore:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))
 
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, f"{name}.parquet"))
+
 
 class IcebergStore:
     """Iceberg stage-table store: ``writeTo(...).createOrReplace()`` behind
@@ -101,6 +104,9 @@ class IcebergStore:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.table(self.table(name))
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        return spark.catalog.tableExists(self.table(name))
 
 
 class StageManager:

@@ -32,12 +32,15 @@ Work per append:
    verbatim, touched clusters relabel to min member id exactly as a full
    recompute would.
 
-Store note: the COMPUTE is O(batch + touched), and with the
-:class:`~wiki_entity_linker_spark.plans.checkpoint.IcebergStore` the merged
-canonical tables are appends/MERGE INTO (row-level, snapshot-isolated); the
-default :class:`ParquetStore` has no append semantics, so it re-writes the
-merged tables in full — correct, but O(corpus) I/O. At 100 TB run appends
-against the Iceberg store.
+Store note: compute AND I/O are O(batch + touched). The bulky index tables
+(``features``/``raw_blocks``/``exact_groups``) are delta-chained — each
+append writes only its batch rows plus a base pointer, and
+:func:`read_canonical` resolves the whole-corpus view as a union over the
+chain (exactly the manifest-over-appended-files pattern Iceberg implements
+natively; on the :class:`IcebergStore` the deltas become real table appends).
+Only ``components``/``assignment`` (array-free relabel outputs) are
+materialized per append; reads over a long chain amortize by re-running the
+full pipeline as compaction.
 
 Fidelity note: inside blocks larger than ``cfg.salt_cap`` the full run salts
 into chained sub-blocks (operators/skew.py), scoring only chunk-local pairs
@@ -74,9 +77,64 @@ from wiki_entity_linker_spark.plans.er_pipeline import (
     score_pairs,
 )
 
-#: canonical stage tables an incremental run reads from its base workdir and
-#: re-writes (merged) into its own workdir, so appends chain
+#: canonical tables an incremental run resolves from its base chain; the
+#: bulky index tables (exact_groups/features/raw_blocks) are DELTA-CHAINED —
+#: each append stores only its batch rows plus a base pointer (chain.json),
+#: the manifest-over-appends pattern Iceberg implements natively — while
+#: components/assignment (array-free, relabeled per append) are materialized
 CANONICAL_STAGES = ("exact_groups", "features", "raw_blocks", "components", "assignment")
+
+#: delta-chained subset of CANONICAL_STAGES and each one's per-batch delta
+#: stage name inside an incremental workdir
+_DELTA_STAGES = {
+    "features": "batch_features",
+    "raw_blocks": "batch_raw_blocks",
+    "exact_groups": "batch_groups",
+}
+
+
+def _chain_path(workdir: str) -> str:
+    return os.path.join(workdir, "chain.json")
+
+
+def read_canonical(
+    spark: SparkSession, workdir: str, name: str, store=None
+) -> DataFrame:
+    """Resolve a canonical table for ``workdir``, walking the append chain.
+
+    A full-pipeline workdir materializes every canonical table, so the walk
+    terminates there. An incremental workdir materializes
+    components/assignment but stores the bulky index tables as batch deltas
+    + a base pointer; ``features``/``raw_blocks`` resolve as union-over-chain
+    and ``exact_groups`` re-aggregates group sizes (rep ids are
+    first-writer-stable, so ``min`` over the chain is the original rep).
+    Reads cost O(chain length) unions — compact by re-running the full
+    pipeline (or, on Iceberg, letting the table service compact).
+    """
+    import json
+
+    st = store or ParquetStore(workdir)
+    if st.exists(spark, name):
+        return st.read(spark, name)
+    cp = _chain_path(workdir)
+    if name not in _DELTA_STAGES or not os.path.exists(cp):
+        raise ValueError(
+            f"workdir {workdir!r} lacks the checkpointed stage tables "
+            f"needed to resolve {name!r} (no materialized table, no chain)"
+        )
+    with open(cp) as f:
+        base_workdir = json.load(f)["base"]
+    base = read_canonical(spark, base_workdir, name)
+    if name == "exact_groups":
+        delta = st.read(spark, _DELTA_STAGES[name]).select(
+            "content_hash", "rep_id", F.col("batch_size").alias("group_size")
+        )
+        return (
+            base.unionByName(delta)
+            .groupBy("content_hash")
+            .agg(F.min("rep_id").alias("rep_id"), F.sum("group_size").alias("group_size"))
+        )
+    return base.unionByName(st.read(spark, _DELTA_STAGES[name]))
 
 
 def run_er_incremental(
@@ -103,14 +161,13 @@ def run_er_incremental(
             "(merged stage tables are built FROM the base tables; writing "
             "over a lazily-read parquet input corrupts it)"
         )
-    bs = base_store or ParquetStore(base_workdir)
     try:
-        old_exact = bs.read(spark, "exact_groups")
-        old_feats = bs.read(spark, "features")
-        old_raw_blocks = bs.read(spark, "raw_blocks")
-        old_comps = bs.read(spark, "components")
-        old_assign = bs.read(spark, "assignment")
-    except Exception as exc:  # noqa: BLE001 — surface a actionable message
+        old_exact = read_canonical(spark, base_workdir, "exact_groups", base_store)
+        old_feats = read_canonical(spark, base_workdir, "features", base_store)
+        old_raw_blocks = read_canonical(spark, base_workdir, "raw_blocks", base_store)
+        old_comps = read_canonical(spark, base_workdir, "components", base_store)
+        old_assign = read_canonical(spark, base_workdir, "assignment", base_store)
+    except Exception as exc:  # noqa: BLE001 — surface an actionable message
         raise ValueError(
             f"base workdir {base_workdir!r} lacks the checkpointed stage "
             "tables an incremental append needs (run run_er_pipeline with "
@@ -282,41 +339,29 @@ def run_er_incremental(
 
     assignment = mgr.stage("assignment", _assign)
 
-    # 8. merged canonical tables so the NEXT append can use this workdir as
-    # its base (exact_groups: sizes folded, reps unchanged; features/raw
-    # blocks: simple appends)
-    def _merged_exact() -> DataFrame:
-        hits = batch_groups.filter(~F.col("is_new")).select(
-            "content_hash", F.col("batch_size").alias("__add")
-        )
-        grown = (
-            old_exact.join(hits, "content_hash", "left")
-            .select(
-                "content_hash",
-                "rep_id",
-                (F.col("group_size") + F.coalesce("__add", F.lit(0))).alias(
-                    "group_size"
-                ),
-            )
-        )
-        fresh = batch_groups.filter("is_new").select(
-            "content_hash", "rep_id", F.col("batch_size").alias("group_size")
-        )
-        return grown.unionByName(fresh)
+    # 8. chain pointer: the bulky index tables (features/raw_blocks/
+    # exact_groups) are NOT re-written — the batch delta stage tables above
+    # plus this pointer let read_canonical resolve them as union-over-chain,
+    # keeping each append's I/O O(batch). components/assignment were
+    # materialized above (array-free; per-append relabels don't append).
+    import json
 
-    merged_exact = mgr.stage("exact_groups", _merged_exact)
-    mgr.stage("features", lambda: old_feats.unionByName(new_feats))
-    mgr.stage("raw_blocks", lambda: old_raw_blocks.unionByName(new_raw_blocks))
+    with open(_chain_path(workdir), "w") as f:
+        json.dump({"base": os.path.abspath(base_workdir)}, f)
 
     out: dict[str, DataFrame] = {
+        # batch-scoped artifacts
         "ingested": new_ing,
         "batch_groups": batch_groups,
-        "exact_groups": merged_exact,
-        "features": new_feats,
-        "raw_blocks": new_raw_blocks,
+        "batch_features": new_feats,
+        "batch_raw_blocks": new_raw_blocks,
         "pairs": pairs,
         "scores": scores,
         "edges": edges,
+        # canonical (whole-corpus) views — chain-resolved where delta-stored
+        "exact_groups": read_canonical(spark, workdir, "exact_groups", store),
+        "features": read_canonical(spark, workdir, "features", store),
+        "raw_blocks": read_canonical(spark, workdir, "raw_blocks", store),
         "components": comps,
         "assignment": assignment,
     }
