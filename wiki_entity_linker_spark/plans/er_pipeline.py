@@ -336,9 +336,15 @@ def run_er_pipeline(
     # stage table, the incremental path's probe index), then fused
     # stopword-cap + salting for the pair self-join. Every key family
     # derives from the per-doc feature table (no second content pass).
+    # cache=False: raw_blocks has exactly ONE in-pipeline consumer (the
+    # cap+salt below evaluates it once through a shared window exchange), so
+    # persisting it in passthrough/bench mode would only evict the feature
+    # cache; checkpointed runs still write it as a stage table — that copy
+    # is the incremental append's probe index (plans/er_incremental.py)
     raw_blocks = mgr.stage(
         "raw_blocks",
         lambda: raw_block_keys(feats, cfg, reps=reps, alias_dict=alias_dict),
+        cache=False,
     )
     blocks = mgr.stage(
         "blocks",
