@@ -147,3 +147,66 @@ def test_incremental_guards(spark, tiny_corpus_dir, tmp_path):
         run_er_incremental(spark, str(tmp_path / "x"), src, str(tmp_path / "x"))
     with pytest.raises(ValueError, match="checkpointed stage tables"):
         run_er_incremental(spark, str(tmp_path / "missing"), src, str(tmp_path / "y"))
+
+
+def test_streaming_er_append_chains_drops(spark, tiny_corpus_dir, tmp_path):
+    """Two streamed drops chain onto a batch base and reach the one-shot
+    partition; re-running the drained stream (restart, no new files) leaves
+    the chain head untouched."""
+    import os
+
+    from wiki_entity_linker_spark.streaming.er_append import (
+        chain_head,
+        streaming_er_append,
+    )
+
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir, frac=0.8)
+    ids = sorted(r["file_id"] for r in with_file_id(batch).select("file_id").collect())
+    mid = ids[len(ids) // 2]
+    b1 = with_file_id(batch).filter(F.col("file_id") < mid).drop("file_id")
+    b2 = with_file_id(batch).filter(F.col("file_id") >= mid).drop("file_id")
+
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"))
+
+    drops = tmp_path / "drops"
+    os.makedirs(drops)
+    chain_root = str(tmp_path / "chain")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def drop(df, name):
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{name}"))
+        import shutil
+
+        part = next(
+            p for p in os.listdir(tmp_path / f"stage_{name}") if p.endswith(".parquet")
+        )
+        shutil.copy(tmp_path / f"stage_{name}" / part, drops / f"{name}.parquet")
+
+    drop(b1, "b1")
+    q = streaming_er_append(
+        spark, str(drops), str(tmp_path / "base"), chain_root, ckpt
+    )
+    q.awaitTermination(300)
+    head1 = chain_head(chain_root)
+    assert head1 is not None
+
+    drop(b2, "b2")
+    q = streaming_er_append(
+        spark, str(drops), str(tmp_path / "base"), chain_root, ckpt
+    )
+    q.awaitTermination(300)
+    head2 = chain_head(chain_root)
+    assert head2 != head1
+
+    got = _assign_map(spark.read.parquet(os.path.join(head2, "assignment.parquet")))
+    want = _assign_map(full["assignment"])
+    assert _normalized(got) == _normalized(want)
+
+    # drained restart: no new files → no new epoch, head unchanged
+    q = streaming_er_append(
+        spark, str(drops), str(tmp_path / "base"), chain_root, ckpt
+    )
+    q.awaitTermination(300)
+    assert chain_head(chain_root) == head2
+    full["_cleanup"]()
