@@ -52,6 +52,10 @@ SF1_QUERIES = [
     "ngram_jaccard",
     "minhash_neardup",
     "er_cluster_documents",
+    # round 4: incremental append (90% base + 10% batch probe) measured at
+    # the same 10x floor — a regression in the probe/merge path would hide
+    # at sf0.1. First recorded in BENCH_r04 alongside the rest of this leg.
+    "er_incremental_documents",
     "interval_join_events",
     "sha_exact_dedup",
 ]

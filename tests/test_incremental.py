@@ -210,3 +210,22 @@ def test_streaming_er_append_chains_drops(spark, tiny_corpus_dir, tmp_path):
     q.awaitTermination(300)
     assert chain_head(chain_root) == head2
     full["_cleanup"]()
+
+
+def test_incremental_intra_batch_duplicate_rows(spark, tiny_corpus_dir, tmp_path):
+    """The same physical row delivered twice in ONE batch must appear once
+    in the assignment (dedup by content-addressed file_id at ingest)."""
+    src = spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet")
+    run_er_pipeline(spark, src, None, str(tmp_path / "base"))
+    one = (
+        src.orderBy("repo", "path", "commit")
+        .limit(1)
+        .withColumn("repo", F.concat(F.lit("dup/"), F.col("repo")))
+    )
+    inc = run_er_incremental(
+        spark, str(tmp_path / "base"), one.unionAll(one), str(tmp_path / "inc")
+    )
+    fid = with_file_id(one).select("file_id").first()["file_id"]
+    rows = inc["assignment"].filter(F.col("id") == fid).collect()
+    assert len(rows) == 1
+    inc["_cleanup"]()

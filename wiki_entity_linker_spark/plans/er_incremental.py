@@ -193,10 +193,18 @@ def run_er_incremental(
 
     # 1. batch ingest; idempotent on re-delivered files (anti-join on the
     # base assignment — file_id is sha256(repo|path|commit), so the same
-    # logical file always re-derives the same id)
+    # logical file always re-derives the same id) AND on duplicate rows
+    # inside one delivery (dropDuplicates on the id; without it a twice-
+    # delivered row would appear twice in the final assignment)
     def _ingest() -> DataFrame:
-        return ingest_projection(raw).join(
-            old_assign.select(F.col("id").alias("file_id")), "file_id", "left_anti"
+        return (
+            ingest_projection(raw)
+            .dropDuplicates(["file_id"])
+            .join(
+                old_assign.select(F.col("id").alias("file_id")),
+                "file_id",
+                "left_anti",
+            )
         )
 
     new_ing = mgr.stage("batch_ingest", _ingest)
