@@ -229,3 +229,30 @@ def test_incremental_intra_batch_duplicate_rows(spark, tiny_corpus_dir, tmp_path
     rows = inc["assignment"].filter(F.col("id") == fid).collect()
     assert len(rows) == 1
     inc["_cleanup"]()
+
+
+def test_compact_chain_then_append(spark, tiny_corpus_dir, tmp_path):
+    """Compacting a chain head yields a self-contained base (no chain.json
+    walk) that further appends build on, with the final partition still
+    equal to the one-shot run."""
+    import os
+
+    from wiki_entity_linker_spark.plans.er_incremental import compact_chain
+
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir, frac=0.8)
+    ids = sorted(r["file_id"] for r in with_file_id(batch).select("file_id").collect())
+    mid = ids[len(ids) // 2]
+    b1 = with_file_id(batch).filter(F.col("file_id") < mid).drop("file_id")
+    b2 = with_file_id(batch).filter(F.col("file_id") >= mid).drop("file_id")
+
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    inc1 = run_er_incremental(spark, str(tmp_path / "base"), b1, str(tmp_path / "i1"))
+    compact_chain(spark, str(tmp_path / "i1"), str(tmp_path / "c1"))
+    # compacted dir resolves every canonical table WITHOUT a chain pointer
+    assert not os.path.exists(tmp_path / "c1" / "chain.json")
+    inc2 = run_er_incremental(spark, str(tmp_path / "c1"), b2, str(tmp_path / "i2"))
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"))
+    assert _normalized(_assign_map(inc2["assignment"])) == _normalized(
+        _assign_map(full["assignment"])
+    )
+    inc1["_cleanup"](), inc2["_cleanup"](), full["_cleanup"]()

@@ -137,6 +137,26 @@ def read_canonical(
     return base.unionByName(st.read(spark, _DELTA_STAGES[name]))
 
 
+def compact_chain(
+    spark: SparkSession, workdir: str, out_workdir: str, store=None
+) -> dict[str, DataFrame]:
+    """Materialize a chain head's canonical tables into a self-contained
+    workdir — the LSM compaction step. After N appends, reads through
+    :func:`read_canonical` pay N unions; compacting rewrites the resolved
+    view once, and subsequent appends based on ``out_workdir`` read a single
+    level again. (On Iceberg this is the table service's rewrite-data-files
+    job; here it is one pass per canonical table.)
+    """
+    if os.path.abspath(workdir) == os.path.abspath(out_workdir):
+        raise ValueError("compact_chain: out_workdir must differ from workdir")
+    st = store or ParquetStore(out_workdir)
+    os.makedirs(out_workdir, exist_ok=True)
+    out: dict[str, DataFrame] = {}
+    for name in CANONICAL_STAGES:
+        out[name] = st.write(spark, name, read_canonical(spark, workdir, name))
+    return out
+
+
 def run_er_incremental(
     spark: SparkSession,
     base_workdir: str,
