@@ -58,6 +58,11 @@ SF1_QUERIES = [
     "er_incremental_documents",
     "interval_join_events",
     "sha_exact_dedup",
+    # round 5 (VERDICT r4 #7): the round-4 operators get noise-proof
+    # round-over-round numbers at the same 10x floor — the window-function
+    # coref core and the distributed ELEVANT counting aggregation
+    "coref_antecedent_window",
+    "elevant_counting",
 ]
 
 

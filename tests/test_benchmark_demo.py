@@ -56,3 +56,22 @@ def test_benchmark_linking_v1_generalizes(spark):
     assert gold["ground_truth"] == 1167
     assert 1150 <= ours["ground_truth"] <= 1180  # same denominator band
     assert ours["f1"] > gold["f1"] + 0.15
+
+
+def test_benchmark_linking_anchor_only_ablation(spark):
+    """Dictionary-circularity ablation: drop the gold-label-name aliases
+    (the sandbox stand-in for the reference's title/Wikidata-label
+    dictionaries) and link with hyperlink anchor text only. Precision must
+    survive the ablation (the pipeline's ranking/suppression machinery is
+    not gold-dependent); the recall collapse is dictionary coverage, bounded
+    and documented in BASELINE.md."""
+    out = run_benchmark_demo(spark, alias_source="anchors")
+    ours = out["spark_hyperlink_prior"]["IGNORED"]["mention_types"]["all"]
+    golden = out["reference_baseline"]["IGNORED"]["mention_types"]["all"]
+    # exact regression pins (deterministic pipeline)
+    assert ours["true_positives"] == 557
+    assert ours["false_positives"] == 194
+    # precision beats the reference baseline even with the ~3-orders-smaller
+    # anchor-only dictionary; recall is coverage-bound below it
+    assert ours["precision"] > golden["precision"] + 0.10
+    assert ours["recall"] < golden["recall"]

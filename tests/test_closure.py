@@ -177,3 +177,44 @@ def test_merge_components_empty_batch(spark):
         spark.createDataFrame([], "id string"),
     ).collect()
     assert {r["id"]: r["component"] for r in out} == {"a": "a", "b": "a"}
+
+
+def test_merge_components_shuffle_fallback_matches_broadcast(spark):
+    """A pathological batch whose edges bridge more base clusters than the
+    broadcast threshold must take the shuffle-join relabel path and produce
+    EXACTLY the broadcast path's (and a full recompute's) output."""
+    from wiki_entity_linker_spark.operators.closure import merge_components
+
+    # 30 two-node base clusters p{i}a—p{i}b ...
+    old_edges = [(f"p{i:02d}a", f"p{i:02d}b") for i in range(30)]
+    old_nodes = [x for e in old_edges for x in e]
+    # ... all bridged by ONE new hub node (every cluster relabels)
+    new_edges = [("hub", f"p{i:02d}a") for i in range(30)]
+
+    olddf = spark.createDataFrame(old_edges, "id_a string, id_b string")
+    old_comps = components_with_singletons(
+        spark.createDataFrame([(n,) for n in old_nodes], "file_id string"),
+        olddf,
+        id_col="file_id",
+    )
+    edges = spark.createDataFrame(new_edges, "id_a string, id_b string")
+    new_nodes = spark.createDataFrame([("hub",)], "id string")
+
+    outs = []
+    for thr in (0, 500_000):  # forced shuffle path vs broadcast path
+        got = merge_components(
+            old_comps, edges, new_nodes, broadcast_threshold=thr
+        ).collect()
+        outs.append({r["id"]: r["component"] for r in got})
+    assert outs[0] == outs[1]
+
+    full = components_with_singletons(
+        spark.createDataFrame(
+            [(n,) for n in old_nodes + ["hub"]], "file_id string"
+        ),
+        olddf.unionByName(edges),
+        id_col="file_id",
+    ).collect()
+    assert outs[0] == {r["id"]: r["component"] for r in full}
+    # the whole graph collapsed into one cluster labeled min member id
+    assert set(outs[0].values()) == {"hub"}

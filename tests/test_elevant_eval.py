@@ -201,3 +201,32 @@ def test_empty_inputs_do_not_crash():
     # aggregation over empty case lists
     out = aggregate([[]], "IGNORED")
     assert out["all"]["ground_truth"] == 0 and out["all"]["f1"] == 0
+
+
+@needs_reference
+def test_inexact_linkers_residual_documented():
+    """The two non-EXACT linkers' residual is pinned per-case: the committed
+    diff artifacts (scripts/elevant_case_diff.py) list EVERY divergent case,
+    the regeneration here must match them exactly, and the divergence stays
+    under 0.3% of cases — all of it at token-cut/quote-glitch predictions
+    that ELEVANT's internal tokenizer absorbs (upstream linker output, not a
+    counting bug)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "elevant_case_diff",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "elevant_case_diff.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    arts = [json.loads(ln) for ln in open(BENCH)]
+    names = mod._kb_names()
+    for linker_rel in mod.INEXACT:
+        got = mod.diff_linker(linker_rel, arts, names)
+        art_path = os.path.join(
+            mod.OUT_DIR, f"elevant_case_diff.{got['linker']}.wiki-fair-v2.json")
+        committed = json.load(open(art_path))
+        assert got == committed, f"{got['linker']}: artifact stale — re-run the script"
+        assert got["divergence_rate"] < 0.003

@@ -221,6 +221,11 @@ def test_incremental_intra_batch_duplicate_rows(spark, tiny_corpus_dir, tmp_path
         src.orderBy("repo", "path", "commit")
         .limit(1)
         .withColumn("repo", F.concat(F.lit("dup/"), F.col("repo")))
+        # genuinely-new content (not a hash hit) so the duplicate delivery
+        # exercises the new-representative path end to end
+        .withColumn(
+            "content", F.concat(F.col("content"), F.lit("\n# fresh marker zz"))
+        )
     )
     inc = run_er_incremental(
         spark, str(tmp_path / "base"), one.unionAll(one), str(tmp_path / "inc")
@@ -228,6 +233,12 @@ def test_incremental_intra_batch_duplicate_rows(spark, tiny_corpus_dir, tmp_path
     fid = with_file_id(one).select("file_id").first()["file_id"]
     rows = inc["assignment"].filter(F.col("id") == fid).collect()
     assert len(rows) == 1
+    # the delta-chained index tables must ALSO carry one row per rep — a
+    # duplicate here would inflate block sizes and duplicate scored pairs
+    # in every later append, forever
+    assert inc["batch_features"].count() == 1
+    brb = inc["batch_raw_blocks"]
+    assert brb.count() == brb.dropDuplicates(["file_id", "block_key"]).count()
     inc["_cleanup"]()
 
 
@@ -256,3 +267,113 @@ def test_compact_chain_then_append(spark, tiny_corpus_dir, tmp_path):
         _assign_map(full["assignment"])
     )
     inc1["_cleanup"](), inc2["_cleanup"](), full["_cleanup"]()
+
+
+def test_incremental_combined_stopword_cap_on_intra_pairs(spark, tmp_path):
+    """The stopword cap must gate batch-internal pairs on COMBINED old+new
+    block sizes, not batch-only sizes: a block over the cap contributes no
+    pairs at all in a full recompute, so the incremental append must not
+    mint batch-internal pairs from its batch slice either (over-merge).
+
+    Fixture: three files sharing only a path-stem/fname block (pairwise
+    disjoint token sets, distinct def names). jaccard_threshold=0 turns ANY
+    generated pair into an edge, so the partitions diverge iff the cap leaks.
+    """
+    from wiki_entity_linker_spark.plans.er_pipeline import ERConfig
+
+    rows = [
+        ("r1", "a/util.py", "c1", "python",
+         "def alpha_one():\n    aa bb cc dd ee ff gg hh\n"),
+        ("r2", "b/util.py", "c1", "python",
+         "def beta_two():\n    ii jj kk ll mm nn oo pp\n"),
+        ("r3", "c/util.py", "c1", "python",
+         "def gamma_three():\n    qq rr ss tt uu vv ww xx\n"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    src = spark.createDataFrame(rows, schema)
+    base = src.filter(F.col("repo") == "r1")
+    batch = src.filter(F.col("repo") != "r1")
+    cfg = ERConfig(jaccard_threshold=0.0, stopword_block_max=2, salt_cap=2)
+
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"), cfg=cfg)
+    want = _normalized(_assign_map(full["assignment"]))
+    # the shared stem/fname blocks hold all 3 files (over the cap of 2) and
+    # are the ONLY shared blocks, so the full run keeps everything singleton
+    assert len(set(want.values())) == 3
+
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"), cfg=cfg)
+    inc = run_er_incremental(
+        spark, str(tmp_path / "base"), batch, str(tmp_path / "inc"), cfg=cfg
+    )
+    # pre-fix: the batch slice of the stem block (2 files ≤ cap) minted an
+    # intra pair and jaccard_threshold=0 merged r2/r3 — an over-merge no
+    # full recompute produces
+    assert inc["pairs"].count() == 0
+    assert _normalized(_assign_map(inc["assignment"])) == want
+    full["_cleanup"](), inc["_cleanup"]()
+
+
+def test_streaming_auto_compaction_bounds_chain_depth(spark, tiny_corpus_dir, tmp_path):
+    """Six streamed drops with compact_every=2: the chain depth never
+    exceeds 2, the head after a compaction epoch is self-contained (no
+    chain.json walk), and the final clustering equals the one-shot run."""
+    import os
+
+    from wiki_entity_linker_spark.streaming.er_append import (
+        chain_depth,
+        chain_head,
+        streaming_er_append,
+    )
+
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir, frac=0.7)
+    ids = sorted(r["file_id"] for r in with_file_id(batch).select("file_id").collect())
+    n_drops = 6
+    cuts = [ids[(len(ids) * i) // n_drops] for i in range(1, n_drops)] + [None]
+    tagged = with_file_id(batch)
+    slices, lo = [], None
+    for hi in cuts:
+        sl = tagged
+        if lo is not None:
+            sl = sl.filter(F.col("file_id") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("file_id") < hi)
+        slices.append(sl.drop("file_id"))
+        lo = hi
+
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"))
+
+    drops = tmp_path / "drops"
+    os.makedirs(drops)
+    chain_root = str(tmp_path / "chain")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def drop(df, name):
+        import shutil
+
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{name}"))
+        part = next(
+            p for p in os.listdir(tmp_path / f"stage_{name}") if p.endswith(".parquet")
+        )
+        shutil.copy(tmp_path / f"stage_{name}" / part, drops / f"{name}.parquet")
+
+    for i, sl in enumerate(slices):
+        drop(sl, f"d{i}")
+        q = streaming_er_append(
+            spark, str(drops), str(tmp_path / "base"), chain_root, ckpt,
+            compact_every=2,
+        )
+        q.awaitTermination(300)
+        assert chain_depth(chain_root) <= 2
+
+    head = chain_head(chain_root)
+    # 6 appends at compact_every=2 → the last epoch compacted: head is a
+    # self-contained workdir and depth reset to 0
+    assert chain_depth(chain_root) == 0
+    assert head.endswith("_compact")
+    assert not os.path.exists(os.path.join(head, "chain.json"))
+
+    got = _assign_map(spark.read.parquet(os.path.join(head, "assignment.parquet")))
+    want = _assign_map(full["assignment"])
+    assert _normalized(got) == _normalized(want)
+    full["_cleanup"]()

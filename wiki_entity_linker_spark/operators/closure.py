@@ -154,12 +154,14 @@ def connected_components(
     convergence.
     """
     def _stats(d: DataFrame) -> tuple:
-        """Cheap set fingerprint: (count, two independently-seeded xors of
-        row hashes) in ONE job — an exceptAll-based convergence test costs a
-        full extra shuffle per round and dominated wall time at scale. Two
-        64-bit hashes (xxhash64 seeds differ via an extra literal column)
-        push the same-count collision odds from ~2^-64 to ~2^-128: a set
-        change only goes unnoticed if BOTH xors collide simultaneously."""
+        """Cheap set fingerprint: (count, xors of two DISTINCT hash
+        functions over each row) in ONE job — an exceptAll-based convergence
+        test costs a full extra shuffle per round and dominated wall time at
+        scale. xxhash64(u, v) and xxhash64(u, v, <const>) are the same seed
+        over different column tuples — two distinct functions, not
+        independent seeds — which still pushes the same-count collision odds
+        from ~2^-64 toward ~2^-128: a set change only goes unnoticed if BOTH
+        xors collide simultaneously."""
         r = d.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h1"),
@@ -294,6 +296,7 @@ def merge_components(
     dst: str = "id_b",
     max_iter: int = 20,
     local_solve_threshold: int = 0,
+    broadcast_threshold: int = 500_000,
 ) -> DataFrame:
     """Absorb a batch of new nodes into an existing components labeling
     WITHOUT re-running connected components over the old graph.
@@ -365,16 +368,30 @@ def merge_components(
         local_solve_threshold=local_solve_threshold,
     ).localCheckpoint(eager=True)  # consumed 3×: merge map, relabel, new rows
     # touched-cluster relabel map: rows of the mini solve whose node id IS an
-    # old component label; batch-sized by construction → broadcast
+    # old component label; batch-sized by construction → broadcast when it
+    # actually fits (size probed below)
     old_labels = old_comps.select(F.col(comp_col).alias("id")).dropDuplicates(["id"])
     merge_map = (
         mini.join(old_labels, "id", "left_semi")
         .select(F.col("id").alias("__old_c"), F.col("component").alias("__new_c"))
         .filter(F.col("__old_c") != F.col("__new_c"))
+        # materialize once: consumed by the size probe AND the relabel join
+        # (and the semi-join against corpus-sized old_labels must not rerun)
+        .localCheckpoint(eager=True)
+    )
+    # batch-sized by construction, but a pathological batch (one edge set
+    # bridging millions of base clusters) would blow a forced broadcast —
+    # probe the actual size and fall back to a shuffle join above the
+    # threshold (~150 B/row driver-side for sha256 string labels, so the
+    # 500k default budgets ~75 MB)
+    probed_map = (
+        F.broadcast(merge_map)
+        if merge_map.count() <= broadcast_threshold
+        else merge_map
     )
     relabeled_old = (
         old_comps.join(
-            F.broadcast(merge_map), F.col(comp_col) == F.col("__old_c"), "left"
+            probed_map, F.col(comp_col) == F.col("__old_c"), "left"
         )
         .select(
             F.col(id_col).alias("id"),

@@ -24,6 +24,21 @@ from wiki_entity_linker_spark.operators.blocking import (
 from wiki_entity_linker_spark.operators.skew import spread_small_input
 
 
+def _cut(df: DataFrame, mgr, name: str) -> DataFrame:
+    """Materialize a multiply-consumed intermediate exactly once.
+
+    ``mgr=None`` (local/bench default): ``localCheckpoint`` — fastest cut,
+    but executor-volatile (a lost executor kills the lineage-truncated RDD).
+    With a :class:`~wiki_entity_linker_spark.plans.checkpoint.StageManager`,
+    the same cut becomes a durable stage table: executor failure replays
+    from the stage table, and re-runs resume it — the cluster-scale form of
+    the identical plan (downstream consumers see one materialized scan
+    either way)."""
+    if mgr is None:
+        return df.localCheckpoint(eager=True)
+    return mgr.stage(name, lambda: df)
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, content_col: str = "content", normalized: bool = True
 ) -> DataFrame:
@@ -54,24 +69,31 @@ def minhash_neardup_pairs(
     n_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    mgr=None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact shingle Jaccard.
 
     shingle → minhash → band → bucket self-join → exact-Jaccard filter:
-    → ``(id_a, id_b, jaccard)``.
+    → ``(id_a, id_b, jaccard)``. Pass a ``StageManager`` as ``mgr`` to make
+    the two internal materialization cuts durable stage tables instead of
+    executor-volatile localCheckpoints (see :func:`_cut`).
     """
     df = spread_small_input(df)
     # ONE tokenize/shingle pass: the shingle arrays feed the signature
     # derivation AND both verify sides; without the cut Catalyst re-runs
     # the scan per consumer (measured: 8 parquet scans in this plan)
-    toks = df.select(
-        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
-    ).localCheckpoint(eager=True)
+    toks = _cut(
+        df.select(
+            F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+        ),
+        mgr,
+        "minhash_toks",
+    )
     sigs = minhash_from_shingles(toks, id_col, "sh", n_hashes)
     # blocks feed both sides of the pair self-join: cut here too so the
     # minhash aggregation itself runs once
-    blocks = lsh_band_blocks(sigs, id_col, bands, n_hashes).localCheckpoint(
-        eager=True
+    blocks = _cut(
+        lsh_band_blocks(sigs, id_col, bands, n_hashes), mgr, "minhash_blocks"
     )
     pairs = pairs_from_blocks(blocks, id_col)
     a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -98,6 +120,7 @@ def minhash_neardup_clusters_incremental(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     local_solve_threshold: int = 500_000,
+    mgr=None,
 ) -> DataFrame:
     """Cluster ``base_df``, then absorb ``new_df`` incrementally —
     result-identical to clustering base ∪ new in one shot.
@@ -128,18 +151,36 @@ def minhash_neardup_clusters_incremental(
 
     base = spread_small_input(base_df)
     new = spread_small_input(new_df)
-    toks_b = base.select(
-        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
-    ).localCheckpoint(eager=True)
-    toks_n = new.select(
-        F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
-    ).localCheckpoint(eager=True)
-    blocks_b = lsh_band_blocks(
-        minhash_from_shingles(toks_b, id_col, "sh", n_hashes), id_col, bands, n_hashes
-    ).localCheckpoint(eager=True)
-    blocks_n = lsh_band_blocks(
-        minhash_from_shingles(toks_n, id_col, "sh", n_hashes), id_col, bands, n_hashes
-    ).localCheckpoint(eager=True)
+    toks_b = _cut(
+        base.select(
+            F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+        ),
+        mgr,
+        "minhash_inc_toks_base",
+    )
+    toks_n = _cut(
+        new.select(
+            F.col(id_col), shingles(tokenize(content_col), k_shingle).alias("sh")
+        ),
+        mgr,
+        "minhash_inc_toks_new",
+    )
+    blocks_b = _cut(
+        lsh_band_blocks(
+            minhash_from_shingles(toks_b, id_col, "sh", n_hashes),
+            id_col, bands, n_hashes,
+        ),
+        mgr,
+        "minhash_inc_blocks_base",
+    )
+    blocks_n = _cut(
+        lsh_band_blocks(
+            minhash_from_shingles(toks_n, id_col, "sh", n_hashes),
+            id_col, bands, n_hashes,
+        ),
+        mgr,
+        "minhash_inc_blocks_new",
+    )
 
     def _verify(pairs: DataFrame, toks: DataFrame) -> DataFrame:
         a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -259,6 +300,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_doc_freq: int | None = 10000,
+    mgr=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup via inverted-index join (no LSH loss).
 
@@ -287,10 +329,11 @@ def ngram_jaccard_pairs(
     # materialize the inverted index ONCE: it feeds four consumers (hot-gram
     # aggregation, per-id sizes, both sides of the self-join) and Catalyst
     # otherwise re-runs the tokenize/shingle scan per consumer — measured as
-    # 4 full document scans in the sf1 plan. localCheckpoint stores the
-    # exploded (id, gram) rows (two 8-byte columns) and truncates lineage;
-    # at cluster scale the same cut belongs in a StageManager stage table.
-    inv = inv.localCheckpoint(eager=True)
+    # 4 full document scans in the sf1 plan. The cut stores the exploded
+    # (id, gram) rows (two 8-byte columns) and truncates lineage — pass a
+    # StageManager as ``mgr`` to make it a durable stage table at cluster
+    # scale (identical plan, executor-failure-safe).
+    inv = _cut(inv, mgr, "ngram_inv")
     if max_doc_freq is not None:
         # the HOT list is tiny by construction → broadcast anti-join; the
         # second checkpoint stops Catalyst cloning the hot aggregation and
@@ -302,15 +345,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("gram")
         )
-        inv = inv.join(
-            F.broadcast(hot), "gram", "left_anti"
-        ).localCheckpoint(eager=True)
+        inv = _cut(
+            inv.join(F.broadcast(hot), "gram", "left_anti"), mgr, "ngram_inv_cold"
+        )
     # sizes from KEPT grams (arrays are distinct, so count(*) = |set|);
     # materialized once — it feeds both sides of the final size join AND a
     # driver-side bounds probe (below) from one tiny table
-    sizes = (
-        inv.groupBy("id").agg(F.count("*").alias("n_grams"))
-        .localCheckpoint(eager=True)
+    sizes = _cut(
+        inv.groupBy("id").agg(F.count("*").alias("n_grams")), mgr, "ngram_sizes"
     )
     # The pair aggregation is the scale bottleneck: the self-join emits
     # Σ|posting|²/2 rows and nearly every (id_a, id_b) group is unique, so

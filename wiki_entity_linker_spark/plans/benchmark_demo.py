@@ -39,13 +39,21 @@ GOLDEN = (
 )
 
 
-def hyperlink_alias_dict(articles: DataFrame) -> DataFrame:
+def hyperlink_alias_dict(
+    articles: DataFrame, include_label_names: bool = True
+) -> DataFrame:
     """(alias, entity_id, freq) from the benchmark's own link structure.
 
     * anchor text → target title, mapped to a QID through the benchmark's
       (label name → entity_id) table — the link-anchor prior
       (create_databases.py:103-122 recast);
-    * every label name is also an alias of its own entity (title aliases).
+    * with ``include_label_names`` (default), every label name is also an
+      alias of its own entity — the stand-in for the reference's
+      title/Wikidata-label aliases (Makefile:200-258), which the sandbox
+      lacks. Because those names come from GOLD annotations, the
+      ``include_label_names=False`` ablation (anchor text only) exists to
+      show the pipeline's lift over the reference baseline does not depend
+      on gold-derived surface forms.
     """
     # name → QID (deterministic argmax over label occurrences)
     names = (
@@ -70,16 +78,18 @@ def hyperlink_alias_dict(articles: DataFrame) -> DataFrame:
         .join(name2qid, "name")
         .select("alias", "entity_id")
     )
-    titles = (
-        articles.select(F.explode("labels").alias("l"))
-        .filter(F.col("l.entity_id").rlike("^Q[0-9]+$"))
-        .select(F.col("l.name").alias("alias"), F.col("l.entity_id").alias("entity_id"))
-    )
-    return (
-        anchors.unionByName(titles)
-        .groupBy("alias", "entity_id")
-        .agg(F.count("*").alias("freq"))
-    )
+    pool = anchors
+    if include_label_names:
+        titles = (
+            articles.select(F.explode("labels").alias("l"))
+            .filter(F.col("l.entity_id").rlike("^Q[0-9]+$"))
+            .select(
+                F.col("l.name").alias("alias"),
+                F.col("l.entity_id").alias("entity_id"),
+            )
+        )
+        pool = pool.unionByName(titles)
+    return pool.groupBy("alias", "entity_id").agg(F.count("*").alias("freq"))
 
 
 def gold_mentions(articles: DataFrame) -> DataFrame:
@@ -105,14 +115,24 @@ def run_benchmark_demo(
     benchmark_path: str = BENCHMARK,
     max_ngram: int = 5,
     with_coref: bool = True,
+    alias_source: str = "anchors+names",
 ) -> dict:
     """→ eval_results-shaped dict (ELEVANT semantics, both modes) with the
-    reference baseline's golden rows alongside for comparison."""
+    reference baseline's golden rows alongside for comparison.
+
+    ``alias_source``: ``"anchors+names"`` (default — hyperlink anchors plus
+    label-name title aliases) or ``"anchors"`` (hyperlink anchor text ONLY —
+    the dictionary-circularity ablation: no gold-derived surface forms enter
+    the candidate dictionary)."""
     from wiki_entity_linker_spark.eval.elevant_spark import (
         evaluate_cases, results_dict)
 
+    if alias_source not in ("anchors+names", "anchors"):
+        raise ValueError(f"unknown alias_source {alias_source!r}")
     articles = read_articles_jsonl(spark, benchmark_path).cache()
-    alias_dict = hyperlink_alias_dict(articles)
+    alias_dict = hyperlink_alias_dict(
+        articles, include_label_names=alias_source == "anchors+names"
+    )
     preds = link_articles(articles, alias_dict, max_ngram=max_ngram)
     if with_coref:
         from wiki_entity_linker_spark.plans.coref import add_coref_links

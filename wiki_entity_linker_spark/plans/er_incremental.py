@@ -32,7 +32,11 @@ Work per append:
    verbatim, touched clusters relabel to min member id exactly as a full
    recompute would.
 
-Store note: compute AND I/O are O(batch + touched). The bulky index tables
+Store note: for the bulky INDEX tables, compute and I/O are O(batch +
+touched); ``components``/``assignment`` are array-free relabel outputs that
+ARE rewritten per append (O(corpus) rows, but tiny fixed-width rows — the
+content/feature bytes, which dominate at 100 TB, are never re-read or
+re-written). The bulky index tables
 (``features``/``raw_blocks``/``exact_groups``) are delta-chained — each
 append writes only its batch rows plus a base pointer, and
 :func:`read_canonical` resolves the whole-corpus view as a union over the
@@ -98,7 +102,7 @@ def _chain_path(workdir: str) -> str:
 
 
 def read_canonical(
-    spark: SparkSession, workdir: str, name: str, store=None
+    spark: SparkSession, workdir: str, name: str, store=None, store_factory=None
 ) -> DataFrame:
     """Resolve a canonical table for ``workdir``, walking the append chain.
 
@@ -110,10 +114,17 @@ def read_canonical(
     first-writer-stable, so ``min`` over the chain is the original rep).
     Reads cost O(chain length) unions — compact by re-running the full
     pipeline (or, on Iceberg, letting the table service compact).
+
+    ``store`` applies to THIS level only; deeper chain levels resolve their
+    store via ``store_factory(workdir) -> store`` when given, else default
+    to :class:`ParquetStore`. A chain whose levels live in a non-default
+    store (e.g. :class:`IcebergStore` per-workdir namespaces) must pass the
+    factory, otherwise the walk silently falls back to parquet one level
+    down — exactly the trap this parameter closes.
     """
     import json
 
-    st = store or ParquetStore(workdir)
+    st = store or (store_factory(workdir) if store_factory else ParquetStore(workdir))
     if st.exists(spark, name):
         return st.read(spark, name)
     cp = _chain_path(workdir)
@@ -124,7 +135,7 @@ def read_canonical(
         )
     with open(cp) as f:
         base_workdir = json.load(f)["base"]
-    base = read_canonical(spark, base_workdir, name)
+    base = read_canonical(spark, base_workdir, name, store_factory=store_factory)
     if name == "exact_groups":
         delta = st.read(spark, _DELTA_STAGES[name]).select(
             "content_hash", "rep_id", F.col("batch_size").alias("group_size")
@@ -138,7 +149,8 @@ def read_canonical(
 
 
 def compact_chain(
-    spark: SparkSession, workdir: str, out_workdir: str, store=None
+    spark: SparkSession, workdir: str, out_workdir: str, store=None,
+    store_factory=None,
 ) -> dict[str, DataFrame]:
     """Materialize a chain head's canonical tables into a self-contained
     workdir — the LSM compaction step. After N appends, reads through
@@ -153,7 +165,11 @@ def compact_chain(
     os.makedirs(out_workdir, exist_ok=True)
     out: dict[str, DataFrame] = {}
     for name in CANONICAL_STAGES:
-        out[name] = st.write(spark, name, read_canonical(spark, workdir, name))
+        out[name] = st.write(
+            spark,
+            name,
+            read_canonical(spark, workdir, name, store_factory=store_factory),
+        )
     return out
 
 
@@ -167,12 +183,19 @@ def run_er_incremental(
     alias_dict: DataFrame | None = None,
     store=None,
     base_store=None,
+    store_factory=None,
 ) -> dict[str, DataFrame]:
     """Append ``new_files`` to the clustering checkpointed at
     ``base_workdir``; write the merged canonical stage tables to ``workdir``.
 
     ``workdir`` must differ from ``base_workdir``: the base tables feed the
     merged ones lazily, and overwriting an input mid-plan corrupts it.
+
+    ``store``/``base_store`` pick the stage store for this append's workdir
+    and the immediate base; ``store_factory(workdir) -> store`` covers
+    DEEPER chain levels when base_workdir is itself an append over a
+    non-default store (without it, levels below the base resolve as
+    :class:`ParquetStore` — see :func:`read_canonical`).
     """
     cfg = cfg or ERConfig()
     if os.path.abspath(workdir) == os.path.abspath(base_workdir):
@@ -182,11 +205,11 @@ def run_er_incremental(
             "over a lazily-read parquet input corrupts it)"
         )
     try:
-        old_exact = read_canonical(spark, base_workdir, "exact_groups", base_store)
-        old_feats = read_canonical(spark, base_workdir, "features", base_store)
-        old_raw_blocks = read_canonical(spark, base_workdir, "raw_blocks", base_store)
-        old_comps = read_canonical(spark, base_workdir, "components", base_store)
-        old_assign = read_canonical(spark, base_workdir, "assignment", base_store)
+        old_exact = read_canonical(spark, base_workdir, "exact_groups", base_store, store_factory)
+        old_feats = read_canonical(spark, base_workdir, "features", base_store, store_factory)
+        old_raw_blocks = read_canonical(spark, base_workdir, "raw_blocks", base_store, store_factory)
+        old_comps = read_canonical(spark, base_workdir, "components", base_store, store_factory)
+        old_assign = read_canonical(spark, base_workdir, "assignment", base_store, store_factory)
     except Exception as exc:  # noqa: BLE001 — surface an actionable message
         raise ValueError(
             f"base workdir {base_workdir!r} lacks the checkpointed stage "
@@ -255,9 +278,16 @@ def run_er_incremental(
     new_rep_ids = batch_groups.filter("is_new").select(
         F.col("rep_id").alias("file_id")
     )
+    # derive rep rows from the UN-deduplicated raw batch but drop duplicate
+    # deliveries of the same file_id here too — new_ing deduped for the
+    # assignment path, and without the same dedup a twice-delivered row would
+    # write two identical rep rows into the delta-chained batch_features /
+    # batch_raw_blocks, inflating block sizes and duplicating scored pairs in
+    # every later append
     new_rep_rows = (
         raw.select("file_id", "path", "lang", "content")
         .join(new_rep_ids, "file_id", "left_semi")
+        .dropDuplicates(["file_id"])
         .repartition(n_part, "file_id")
     )
     new_feats = mgr.stage(
@@ -297,9 +327,13 @@ def run_er_incremental(
             )
             .filter(F.col("id_a") != F.col("id_b"))
         )
+        # batch-internal pairs come from probe_new (already anti-joined
+        # against `hot`), so the stopword rule applies to COMBINED old+new
+        # block sizes on this leg too — a block over the cap contributes
+        # neither cross nor intra pairs, exactly as a full recompute drops it
         intra = pairs_from_blocks(
             cap_and_salt_blocks(
-                new_raw_blocks, max_size=cfg.stopword_block_max, cap=cfg.salt_cap
+                probe_new, max_size=cfg.stopword_block_max, cap=cfg.salt_cap
             )
         )
         return cross.unionByName(intra).dropDuplicates(["id_a", "id_b"])
@@ -333,15 +367,18 @@ def run_er_incremental(
             comp_col="component",
             max_iter=cfg.max_cc_iter,
             local_solve_threshold=cfg.cc_local_solve_threshold,
+            broadcast_threshold=cfg.merge_broadcast_threshold,
         ),
     )
 
     # 7. full assignment: every base file (relabeled where its cluster was
     # touched) + every batch file (hash hits via their old rep, new files via
     # their batch rep). comps covers old reps ∪ new reps by construction.
-    # The base side is relabeled through a BATCH-SIZED broadcast map (an old
-    # label x is its own component in old_comps, so x is touched iff
-    # comps[x] != x) — one map-side pass over the old assignment, no shuffle.
+    # The base side is relabeled through a BATCH-SIZED map (an old label x is
+    # its own component in old_comps, so x is touched iff comps[x] != x) —
+    # broadcast when it fits (one map-side pass over the old assignment, no
+    # shuffle), size-guarded shuffle join when a pathological batch bridges
+    # more base clusters than cfg.merge_broadcast_threshold.
     def _assign() -> DataFrame:
         old_label_rows = old_comps.filter(
             F.col("id") == F.col("component")
@@ -350,9 +387,20 @@ def run_er_incremental(
             comps.join(old_label_rows, "id", "left_semi")
             .filter(F.col("component") != F.col("id"))
             .select(F.col("id").alias("__old_c"), F.col("component").alias("__new_c"))
+            # consumed by the size probe and the relabel join; the semi-join
+            # against corpus-sized old_label_rows must run once
+            .localCheckpoint(eager=True)
+        )
+        # batch-sized by construction, but size-guard the broadcast: a
+        # pathological batch bridging more base clusters than the threshold
+        # falls back to a shuffle join instead of blowing the driver
+        probed = (
+            F.broadcast(changed)
+            if changed.count() <= cfg.merge_broadcast_threshold
+            else changed
         )
         relabeled_old = old_assign.join(
-            F.broadcast(changed), F.col("component") == F.col("__old_c"), "left"
+            probed, F.col("component") == F.col("__old_c"), "left"
         ).select("id", F.coalesce("__new_c", F.col("component")).alias("component"))
         rep_comp = comps.join(
             batch_groups.select(F.col("rep_id").alias("id")), "id", "left_semi"
@@ -387,9 +435,9 @@ def run_er_incremental(
         "scores": scores,
         "edges": edges,
         # canonical (whole-corpus) views — chain-resolved where delta-stored
-        "exact_groups": read_canonical(spark, workdir, "exact_groups", store),
-        "features": read_canonical(spark, workdir, "features", store),
-        "raw_blocks": read_canonical(spark, workdir, "raw_blocks", store),
+        "exact_groups": read_canonical(spark, workdir, "exact_groups", store, store_factory),
+        "features": read_canonical(spark, workdir, "features", store, store_factory),
+        "raw_blocks": read_canonical(spark, workdir, "raw_blocks", store, store_factory),
         "components": comps,
         "assignment": assignment,
     }

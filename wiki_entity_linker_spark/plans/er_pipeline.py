@@ -110,6 +110,11 @@ class ERConfig:
     # (int64-id graphs can afford 10x this). 0 disables (fully distributed
     # to convergence).
     cc_local_solve_threshold: int = 500_000
+    # incremental-append relabel maps (merge_components' merge_map and the
+    # assignment stage's changed-labels map) are batch-sized by construction
+    # and broadcast; a pathological batch bridging more base clusters than
+    # this falls back to a shuffle join instead of blowing the broadcast
+    merge_broadcast_threshold: int = 500_000
     extra: dict = field(default_factory=dict)
 
 

@@ -1396,9 +1396,12 @@ def coref_antecedent_window(spark, sf_dir):
          ('entity_unknown','ENTITY_UNKNOWN'),
          ('coref_nominal','COREF_NOMINAL'),
          ('coref_pronominal','COREF_PRONOMINAL')),
-       agg AS (SELECT bucket, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+       agg AS (SELECT bucket,
+                      CAST(sum(tp) AS BIGINT) AS tp,
+                      CAST(sum(fp) AS BIGINT) AS fp,
+                      CAST(sum(fn) AS BIGINT) AS fn
                FROM per JOIN b USING (mention_type) GROUP BY 1)
-       SELECT bucket, tp, fp, fn, tp + fn AS ground_truth,
+       SELECT bucket, tp, fp, fn, CAST(tp + fn AS BIGINT) AS ground_truth,
               round(CASE WHEN tp + fp > 0
                          THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END, 6)
                 AS prec,

@@ -36,13 +36,23 @@ def _head_path(chain_root: str) -> str:
     return os.path.join(chain_root, "head.json")
 
 
-def chain_head(chain_root: str, default: str | None = None) -> str | None:
-    """The workdir holding the latest complete clustering of the chain."""
+def _head_state(chain_root: str) -> dict:
     p = _head_path(chain_root)
     if os.path.exists(p):
         with open(p) as f:
-            return json.load(f)["head"]
-    return default
+            return json.load(f)
+    return {}
+
+
+def chain_head(chain_root: str, default: str | None = None) -> str | None:
+    """The workdir holding the latest complete clustering of the chain."""
+    return _head_state(chain_root).get("head", default)
+
+
+def chain_depth(chain_root: str) -> int:
+    """Number of un-compacted append levels above the nearest self-contained
+    workdir (0 right after a full run or a compaction)."""
+    return _head_state(chain_root).get("depth", 0)
 
 
 def streaming_er_append(
@@ -52,6 +62,7 @@ def streaming_er_append(
     chain_root: str,
     checkpoint_dir: str,
     cfg=None,
+    compact_every: int | None = 8,
 ) -> StreamingQuery:
     """Stream parquet drops of new source files into the clustering rooted
     at ``base_workdir``; per-epoch workdirs chain under ``chain_root``.
@@ -61,11 +72,30 @@ def streaming_er_append(
     cron/Airflow with streaming-checkpoint semantics. Re-invoke after new
     drops; the stream checkpoint skips files already processed and
     :func:`chain_head` always points at the newest complete clustering.
+
+    Auto-compaction: ``read_canonical`` through a chain costs one union per
+    un-compacted append, so an unattended long-running stream would degrade
+    reads to O(epochs). Whenever the chain depth reaches ``compact_every``,
+    the epoch's append is followed by a :func:`compact_chain` into
+    ``<epoch workdir>_compact`` and the head advances to the compacted,
+    self-contained workdir (depth resets to 0) — the LSM minor-compaction
+    policy, run inline because the next append must base on its output.
+    ``compact_every=None`` disables the policy (compact by hand). A crash
+    between the append's head commit and the compaction is safe: the head
+    already points at the complete appended clustering, and the next epoch
+    simply triggers the compaction again at the same depth.
     """
-    from wiki_entity_linker_spark.plans.er_incremental import run_er_incremental
+    from wiki_entity_linker_spark.plans.er_incremental import (
+        compact_chain,
+        run_er_incremental,
+    )
 
     os.makedirs(chain_root, exist_ok=True)
     stream = spark.readStream.schema(SOURCE_SCHEMA).parquet(source_dir)
+
+    def _advance(head: str, epoch_id: int, depth: int) -> None:
+        with open(_head_path(chain_root), "w") as f:
+            json.dump({"head": head, "epoch": epoch_id, "depth": depth}, f)
 
     def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
@@ -77,9 +107,13 @@ def streaming_er_append(
             return
         out = run_er_incremental(batch_df.sparkSession, base, batch_df, wd, cfg=cfg)
         out["_cleanup"]()
+        depth = chain_depth(chain_root) + 1
         # advance the head only after every stage table is on disk
-        with open(_head_path(chain_root), "w") as f:
-            json.dump({"head": wd, "epoch": epoch_id}, f)
+        _advance(wd, epoch_id, depth)
+        if compact_every is not None and depth >= compact_every:
+            cwd = wd + "_compact"
+            compact_chain(batch_df.sparkSession, wd, cwd)
+            _advance(cwd, epoch_id, 0)
 
     return (
         stream.writeStream.foreachBatch(_absorb)
