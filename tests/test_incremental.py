@@ -313,11 +313,21 @@ def test_incremental_combined_stopword_cap_on_intra_pairs(spark, tmp_path):
     full["_cleanup"](), inc["_cleanup"]()
 
 
-def test_streaming_auto_compaction_bounds_chain_depth(spark, tiny_corpus_dir, tmp_path):
+def test_streaming_auto_compaction_bounds_chain_depth(
+    spark, tiny_corpus_dir, tmp_path
+):
     """Six streamed drops with compact_every=2: the chain depth never
     exceeds 2, the head after a compaction epoch is self-contained (no
-    chain.json walk), and the final clustering equals the one-shot run."""
+    chain.json walk), and the final clustering equals the one-shot run.
+    Runs in delta-assignment mode — the production shape — so every epoch
+    additionally writes only O(batch) (no corpus-sized assignment table in
+    any epoch workdir) and compaction is the only place the whole-corpus
+    tables materialize. (The materialized streaming path is covered by
+    test_streaming_er_append_chains_drops; the two modes share all code but
+    the stage-write set.)"""
     import os
+
+    materialize = False
 
     from wiki_entity_linker_spark.streaming.er_append import (
         chain_depth,
@@ -361,10 +371,18 @@ def test_streaming_auto_compaction_bounds_chain_depth(spark, tiny_corpus_dir, tm
         drop(sl, f"d{i}")
         q = streaming_er_append(
             spark, str(drops), str(tmp_path / "base"), chain_root, ckpt,
-            compact_every=2,
+            compact_every=2, materialize_assignment=materialize,
         )
         q.awaitTermination(300)
         assert chain_depth(chain_root) <= 2
+        if not materialize:
+            head_now = chain_head(chain_root)
+            if not head_now.endswith("_compact"):
+                # epoch workdirs never carry the corpus-sized table
+                assert not os.path.exists(
+                    os.path.join(head_now, "assignment.parquet"))
+                assert os.path.exists(
+                    os.path.join(head_now, "relabel_map.parquet"))
 
     head = chain_head(chain_root)
     # 6 appends at compact_every=2 → the last epoch compacted: head is a
@@ -377,3 +395,149 @@ def test_streaming_auto_compaction_bounds_chain_depth(spark, tiny_corpus_dir, tm
     want = _assign_map(full["assignment"])
     assert _normalized(got) == _normalized(want)
     full["_cleanup"]()
+
+
+def test_read_canonical_store_factory_threads_through_chain(spark, tmp_path):
+    """ADVICE r4: the chain walk must resolve DEEPER levels through the
+    caller's store, not silently fall back to ParquetStore(workdir). Here
+    every level's tables live in a parquet store rooted AWAY from its
+    workdir, so resolution succeeds only if store_factory is consulted at
+    each level."""
+    import json
+    import os
+
+    from wiki_entity_linker_spark.plans.checkpoint import ParquetStore
+    from wiki_entity_linker_spark.plans.er_incremental import read_canonical
+
+    base_wd = str(tmp_path / "base_wd")
+    inc_wd = str(tmp_path / "inc_wd")
+    stores_root = tmp_path / "stores"
+    os.makedirs(base_wd), os.makedirs(inc_wd)
+
+    def factory(workdir):
+        return ParquetStore(str(stores_root / os.path.basename(workdir)))
+
+    base_feats = spark.createDataFrame(
+        [("f1", 1.0), ("f2", 2.0)], "file_id string, score double")
+    delta_feats = spark.createDataFrame(
+        [("f3", 3.0)], "file_id string, score double")
+    factory(base_wd).write(spark, "features", base_feats)
+    factory(inc_wd).write(spark, "batch_features", delta_feats)
+    with open(os.path.join(inc_wd, "chain.json"), "w") as f:
+        json.dump({"base": base_wd}, f)
+
+    got = read_canonical(
+        spark, inc_wd, "features",
+        store=factory(inc_wd), store_factory=factory,
+    )
+    assert {r["file_id"] for r in got.collect()} == {"f1", "f2", "f3"}
+
+    # without the factory, the base level would resolve as
+    # ParquetStore(base_wd) — empty — and must fail loudly, not silently
+    with pytest.raises(ValueError, match="lacks the checkpointed"):
+        read_canonical(spark, inc_wd, "features", store=factory(inc_wd)).collect()
+
+
+def test_incremental_delta_assignment_matches_materialized(spark, tiny_corpus_dir, tmp_path):
+    """materialize_assignment=False writes only the batch-sized relabel map
+    + batch rows, yet the resolved components/assignment views equal the
+    materialized mode's tables AND the one-shot run — across a two-batch
+    chain — and compaction re-materializes them."""
+    import os
+
+    from wiki_entity_linker_spark.plans.er_incremental import compact_chain
+
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir, frac=0.8)
+    ids = sorted(r["file_id"] for r in with_file_id(batch).select("file_id").collect())
+    mid = ids[len(ids) // 2]
+    b1 = with_file_id(batch).filter(F.col("file_id") < mid).drop("file_id")
+    b2 = with_file_id(batch).filter(F.col("file_id") >= mid).drop("file_id")
+
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    full = run_er_pipeline(spark, src, None, str(tmp_path / "full"))
+
+    d1 = run_er_incremental(
+        spark, str(tmp_path / "base"), b1, str(tmp_path / "d1"),
+        materialize_assignment=False,
+    )
+    d2 = run_er_incremental(
+        spark, str(tmp_path / "d1"), b2, str(tmp_path / "d2"),
+        materialize_assignment=False,
+    )
+    m1 = run_er_incremental(
+        spark, str(tmp_path / "base"), b1, str(tmp_path / "m1")
+    )
+    m2 = run_er_incremental(
+        spark, str(tmp_path / "m1"), b2, str(tmp_path / "m2")
+    )
+
+    # O(batch) write: no corpus-sized tables in the delta workdirs
+    for wd in ("d1", "d2"):
+        assert not os.path.exists(tmp_path / wd / "assignment.parquet")
+        assert not os.path.exists(tmp_path / wd / "components.parquet")
+        assert os.path.exists(tmp_path / wd / "relabel_map.parquet")
+        assert os.path.exists(tmp_path / wd / "batch_assignment.parquet")
+
+    # resolved views: EXACT label parity with the materialized chain and the
+    # one-shot run (not just same partitions)
+    want = _assign_map(full["assignment"])
+    assert _assign_map(d2["assignment"]) == _assign_map(m2["assignment"])
+    assert _normalized(_assign_map(d2["assignment"])) == _normalized(want)
+    d_comps = {r["id"]: r["component"] for r in d2["components"].collect()}
+    m_comps = {r["id"]: r["component"] for r in m2["components"].collect()}
+    assert d_comps == m_comps
+
+    # per-level delta sizes are batch-bounded
+    n_b2 = b2.count()
+    assert spark.read.parquet(str(tmp_path / "d2" / "batch_assignment.parquet")).count() == n_b2
+
+    # compaction resolves the relabel chain into self-contained tables
+    compact_chain(spark, str(tmp_path / "d2"), str(tmp_path / "c"))
+    assert os.path.exists(tmp_path / "c" / "assignment.parquet")
+    got_c = _assign_map(spark.read.parquet(str(tmp_path / "c" / "assignment.parquet")))
+    assert got_c == _assign_map(m2["assignment"])
+    for o in (full, d1, d2, m1, m2):
+        o["_cleanup"]()
+
+
+def test_delta_assignment_resolution_plan_is_broadcast(spark, tmp_path):
+    """The resolved assignment view over a delta chain must relabel the base
+    through BROADCAST joins (the maps are tiny parquet stage tables whose
+    size Catalyst knows) — no sort-merge shuffle of the corpus-sized base,
+    no cartesian product."""
+    import json
+    import os
+
+    from wiki_entity_linker_spark.plans.checkpoint import ParquetStore
+    from wiki_entity_linker_spark.plans.er_incremental import read_canonical
+
+    base_wd, l1, l2 = (str(tmp_path / d) for d in ("b", "l1", "l2"))
+    st_b, st_1, st_2 = (ParquetStore(d) for d in (base_wd, l1, l2))
+    for d in (base_wd, l1, l2):
+        os.makedirs(d)
+    st_b.write(spark, "assignment", spark.createDataFrame(
+        [(f"f{i}", f"f{i - i % 2}") for i in range(10)], "id string, component string"))
+    st_1.write(spark, "relabel_map", spark.createDataFrame(
+        [("f0", "a0")], "__old_c string, __new_c string"))
+    st_1.write(spark, "batch_assignment", spark.createDataFrame(
+        [("a0", "a0")], "id string, component string"))
+    st_2.write(spark, "relabel_map", spark.createDataFrame(
+        [("f2", "a1")], "__old_c string, __new_c string"))
+    st_2.write(spark, "batch_assignment", spark.createDataFrame(
+        [("a1", "a1")], "id string, component string"))
+    json.dump({"base": base_wd}, open(os.path.join(l1, "chain.json"), "w"))
+    json.dump({"base": l1}, open(os.path.join(l2, "chain.json"), "w"))
+
+    resolved = read_canonical(spark, l2, "assignment")
+    got = {r["id"]: r["component"] for r in resolved.collect()}
+    # both levels' maps applied, batch rows present, untouched rows verbatim
+    assert got["f0"] == got["f1"] == "a0" and got["a0"] == "a0"
+    assert got["f2"] == got["f3"] == "a1" and got["a1"] == "a1"
+    assert got["f4"] == "f4" and got["f5"] == "f4"
+
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # one map join per chain level (Catalyst may push a level's join through
+    # the lower union, cloning it per branch — still all broadcast)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

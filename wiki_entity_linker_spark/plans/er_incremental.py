@@ -33,10 +33,13 @@ Work per append:
    recompute would.
 
 Store note: for the bulky INDEX tables, compute and I/O are O(batch +
-touched); ``components``/``assignment`` are array-free relabel outputs that
-ARE rewritten per append (O(corpus) rows, but tiny fixed-width rows — the
-content/feature bytes, which dominate at 100 TB, are never re-read or
-re-written). The bulky index tables
+touched). ``components``/``assignment`` are array-free relabel outputs that
+by default ARE rewritten per append (O(corpus) rows, but tiny fixed-width
+rows — the content/feature bytes, which dominate at 100 TB, are never
+re-read or re-written); pass ``materialize_assignment=False`` to delta-chain
+them too (batch-sized relabel map + batch rows per level, resolved by
+:func:`read_canonical`), making the ENTIRE append's write volume
+O(batch + touched). The bulky index tables
 (``features``/``raw_blocks``/``exact_groups``) are delta-chained — each
 append writes only its batch rows plus a base pointer, and
 :func:`read_canonical` resolves the whole-corpus view as a union over the
@@ -128,6 +131,32 @@ def read_canonical(
     if st.exists(spark, name):
         return st.read(spark, name)
     cp = _chain_path(workdir)
+    if (
+        name in ("components", "assignment")
+        and os.path.exists(cp)
+        and st.exists(spark, "relabel_map")
+    ):
+        # delta-assignment workdir (run_er_incremental with
+        # materialize_assignment=False): the level stores only its
+        # batch-sized relabel map + batch rows, and the whole-corpus view is
+        # base-relabeled-through-the-map ∪ batch rows. Chaining nests
+        # naturally: level k relabels the RESOLVED level-(k-1) view, so maps
+        # compose without any explicit composition step. No broadcast hint:
+        # the map is a parquet stage table whose size Catalyst knows — small
+        # maps auto-broadcast, a pathological mass-merge map falls back to a
+        # shuffle join on its own (the same guard merge_components applies).
+        with open(cp) as f:
+            base_workdir = json.load(f)["base"]
+        base = read_canonical(spark, base_workdir, name, store_factory=store_factory)
+        m = st.read(spark, "relabel_map")
+        relabeled = base.join(
+            m, base["component"] == m["__old_c"], "left"
+        ).select(
+            base["id"],
+            F.coalesce(m["__new_c"], base["component"]).alias("component"),
+        )
+        delta = "batch_components" if name == "components" else "batch_assignment"
+        return relabeled.unionByName(st.read(spark, delta).select("id", "component"))
     if name not in _DELTA_STAGES or not os.path.exists(cp):
         raise ValueError(
             f"workdir {workdir!r} lacks the checkpointed stage tables "
@@ -184,6 +213,7 @@ def run_er_incremental(
     store=None,
     base_store=None,
     store_factory=None,
+    materialize_assignment: bool = True,
 ) -> dict[str, DataFrame]:
     """Append ``new_files`` to the clustering checkpointed at
     ``base_workdir``; write the merged canonical stage tables to ``workdir``.
@@ -196,6 +226,19 @@ def run_er_incremental(
     DEEPER chain levels when base_workdir is itself an append over a
     non-default store (without it, levels below the base resolve as
     :class:`ParquetStore` — see :func:`read_canonical`).
+
+    ``materialize_assignment=True`` (default) rewrites the full
+    ``components``/``assignment`` tables per append — array-free fixed-width
+    rows, but still O(corpus) rows of write. ``False`` delta-chains them
+    like the index tables: the level stores only its batch-sized relabel map
+    (``relabel_map``) plus the batch's own rows
+    (``batch_components``/``batch_assignment``), making the ENTIRE append's
+    write volume O(batch + touched); :func:`read_canonical` resolves the
+    whole-corpus view by relabeling the base through the map (one map-side
+    join per chain level — compaction bounds the depth). At 10^12 files a
+    daily append must not write 10^12 assignment rows; this is the mode a
+    real deployment runs, with the materialized default kept for
+    self-contained workdirs and short-lived chains.
     """
     cfg = cfg or ERConfig()
     if os.path.abspath(workdir) == os.path.abspath(base_workdir):
@@ -225,6 +268,8 @@ def run_er_incremental(
             "base": os.path.abspath(base_workdir),
             "input": _input_fingerprint(new_files),
             "alias_dict": None if alias_dict is None else _input_fingerprint(alias_dict),
+            # mode changes the stage-table set — must invalidate, not resume
+            "materialize_assignment": materialize_assignment,
         },
         enabled=True,
         store=store,
@@ -357,9 +402,8 @@ def run_er_incremental(
     edges = mgr.stage("batch_edges", lambda: match_edges(scores, cfg))
 
     # 6. merge into the existing labeling (batch-sized mini graph)
-    comps = mgr.stage(
-        "components",
-        lambda: merge_components(
+    def _merge() -> DataFrame:
+        return merge_components(
             old_comps,
             edges,
             new_rep_ids.select(F.col("file_id").alias("id")),
@@ -368,58 +412,83 @@ def run_er_incremental(
             max_iter=cfg.max_cc_iter,
             local_solve_threshold=cfg.cc_local_solve_threshold,
             broadcast_threshold=cfg.merge_broadcast_threshold,
-        ),
-    )
+        )
 
-    # 7. full assignment: every base file (relabeled where its cluster was
-    # touched) + every batch file (hash hits via their old rep, new files via
-    # their batch rep). comps covers old reps ∪ new reps by construction.
-    # The base side is relabeled through a BATCH-SIZED map (an old label x is
-    # its own component in old_comps, so x is touched iff comps[x] != x) —
-    # broadcast when it fits (one map-side pass over the old assignment, no
-    # shuffle), size-guarded shuffle join when a pathological batch bridges
-    # more base clusters than cfg.merge_broadcast_threshold.
-    def _assign() -> DataFrame:
-        old_label_rows = old_comps.filter(
-            F.col("id") == F.col("component")
-        ).select("id")
-        changed = (
+    # the merged view is materialized as the "components" stage table in the
+    # default mode; in delta mode it stays a lazy view (its expensive inner
+    # pieces are already cut inside merge_components) and only the
+    # batch-sized delta stages below are written
+    comps = mgr.stage("components", _merge) if materialize_assignment else _merge()
+
+    old_label_rows = old_comps.filter(
+        F.col("id") == F.col("component")
+    ).select("id")
+
+    def _changed() -> DataFrame:
+        # batch-sized relabel map: an old label x is its own component in
+        # old_comps, so x is touched iff comps[x] != x
+        return (
             comps.join(old_label_rows, "id", "left_semi")
             .filter(F.col("component") != F.col("id"))
             .select(F.col("id").alias("__old_c"), F.col("component").alias("__new_c"))
-            # consumed by the size probe and the relabel join; the semi-join
-            # against corpus-sized old_label_rows must run once
-            .localCheckpoint(eager=True)
         )
-        # batch-sized by construction, but size-guard the broadcast: a
-        # pathological batch bridging more base clusters than the threshold
-        # falls back to a shuffle join instead of blowing the driver
-        probed = (
-            F.broadcast(changed)
-            if changed.count() <= cfg.merge_broadcast_threshold
-            else changed
-        )
-        relabeled_old = old_assign.join(
-            probed, F.col("component") == F.col("__old_c"), "left"
-        ).select("id", F.coalesce("__new_c", F.col("component")).alias("component"))
+
+    def _batch_members() -> DataFrame:
+        # every batch file's row: hash hits via their old rep, new files via
+        # their batch rep. comps covers old reps ∪ new reps by construction.
         rep_comp = comps.join(
             batch_groups.select(F.col("rep_id").alias("id")), "id", "left_semi"
         ).select(F.col("id").alias("rep_id"), "component")
-        batch_members = (
+        return (
             new_ing.select("file_id", "content_hash")
             .join(batch_groups.select("content_hash", "rep_id"), "content_hash")
             .join(rep_comp, "rep_id")
             .select(F.col("file_id").alias("id"), "component")
         )
-        return relabeled_old.unionByName(batch_members)
 
-    assignment = mgr.stage("assignment", _assign)
+    if materialize_assignment:
+        # 7. full assignment: every base file (relabeled where its cluster
+        # was touched) + every batch file. The base side is relabeled through
+        # the BATCH-SIZED map — broadcast when it fits (one map-side pass
+        # over the old assignment, no shuffle), size-guarded shuffle join
+        # when a pathological batch bridges more base clusters than
+        # cfg.merge_broadcast_threshold.
+        def _assign() -> DataFrame:
+            # consumed by the size probe and the relabel join; the semi-join
+            # against corpus-sized old_label_rows must run once
+            changed = _changed().localCheckpoint(eager=True)
+            probed = (
+                F.broadcast(changed)
+                if changed.count() <= cfg.merge_broadcast_threshold
+                else changed
+            )
+            relabeled_old = old_assign.join(
+                probed, F.col("component") == F.col("__old_c"), "left"
+            ).select(
+                "id", F.coalesce("__new_c", F.col("component")).alias("component")
+            )
+            return relabeled_old.unionByName(_batch_members())
+
+        assignment = mgr.stage("assignment", _assign)
+    else:
+        # 7 (delta mode). write ONLY the batch-sized pieces; the whole-corpus
+        # components/assignment views resolve through read_canonical (base
+        # relabeled through the map ∪ batch rows, nesting across the chain)
+        mgr.stage("relabel_map", _changed)
+        mgr.stage(
+            "batch_components",
+            lambda: comps.join(
+                new_rep_ids.select(F.col("file_id").alias("id")), "id", "left_semi"
+            ),
+        )
+        mgr.stage("batch_assignment", _batch_members)
 
     # 8. chain pointer: the bulky index tables (features/raw_blocks/
     # exact_groups) are NOT re-written — the batch delta stage tables above
     # plus this pointer let read_canonical resolve them as union-over-chain,
-    # keeping each append's I/O O(batch). components/assignment were
-    # materialized above (array-free; per-append relabels don't append).
+    # keeping each append's I/O O(batch). components/assignment are
+    # materialized above in the default mode (array-free fixed-width
+    # relabels) and delta-chained in materialize_assignment=False mode.
     import json
 
     with open(_chain_path(workdir), "w") as f:
@@ -438,9 +507,17 @@ def run_er_incremental(
         "exact_groups": read_canonical(spark, workdir, "exact_groups", store, store_factory),
         "features": read_canonical(spark, workdir, "features", store, store_factory),
         "raw_blocks": read_canonical(spark, workdir, "raw_blocks", store, store_factory),
-        "components": comps,
-        "assignment": assignment,
     }
+    if materialize_assignment:
+        out["components"] = comps
+        out["assignment"] = assignment
+    else:
+        out["components"] = read_canonical(
+            spark, workdir, "components", store, store_factory
+        )
+        out["assignment"] = assignment = read_canonical(
+            spark, workdir, "assignment", store, store_factory
+        )
     if labeled_pairs is not None:
         out["metrics"] = mgr.stage(
             "metrics",

@@ -63,6 +63,7 @@ def streaming_er_append(
     checkpoint_dir: str,
     cfg=None,
     compact_every: int | None = 8,
+    materialize_assignment: bool = True,
 ) -> StreamingQuery:
     """Stream parquet drops of new source files into the clustering rooted
     at ``base_workdir``; per-epoch workdirs chain under ``chain_root``.
@@ -84,6 +85,11 @@ def streaming_er_append(
     between the append's head commit and the compaction is safe: the head
     already points at the complete appended clustering, and the next epoch
     simply triggers the compaction again at the same depth.
+
+    ``materialize_assignment=False`` delta-chains components/assignment too
+    (O(batch) write per epoch; see run_er_incremental) — pair it with
+    ``compact_every`` so the periodic compaction re-materializes the
+    whole-corpus tables and bounds the resolve-join depth.
     """
     from wiki_entity_linker_spark.plans.er_incremental import (
         compact_chain,
@@ -105,7 +111,10 @@ def streaming_er_append(
         if base == wd:
             # exact replay of an epoch whose head update already committed
             return
-        out = run_er_incremental(batch_df.sparkSession, base, batch_df, wd, cfg=cfg)
+        out = run_er_incremental(
+            batch_df.sparkSession, base, batch_df, wd, cfg=cfg,
+            materialize_assignment=materialize_assignment,
+        )
         out["_cleanup"]()
         depth = chain_depth(chain_root) + 1
         # advance the head only after every stage table is on disk
