@@ -46,13 +46,8 @@ def tokenize(col: Column | str, lowercase: bool = True) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
-def shingles(tokens: Column | str, k: int = 5) -> Column:
-    """Distinct k-token shingles (space-joined) from a token array.
-
-    The graft's mention-span analogue: where the reference scans text for
-    alias substrings (hyperlink_reference_linker.py:160-215), the code graft
-    shingles `content` tokens for MinHash blocking. Pure higher-order
-    functions — no UDF.
+def ngrams(tokens: Column | str, k: int = 5) -> Column:
+    """k-token grams (space-joined) WITH multiplicity, in document order.
 
     Implementation note: built by zipping k shifted slices of the token
     array rather than ``transform(sequence(...), i -> slice(t, i, k))`` —
@@ -63,15 +58,27 @@ def shingles(tokens: Column | str, k: int = 5) -> Column:
     """
     t = _c(tokens)
     n = F.size(t)
-    m = F.greatest(n - F.lit(k - 1), F.lit(0))  # shingle count when n >= k
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))  # gram count when n >= k
     acc = F.slice(t, 1, m)
     for i in range(1, k):
         acc = F.zip_with(
             acc, F.slice(t, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    # degenerate doc shorter than k tokens → single whole-doc shingle
+    # degenerate doc shorter than k tokens → single whole-doc gram
     short = F.array(F.concat_ws(" ", t))
-    return F.array_distinct(F.when(n >= k, acc).otherwise(short))
+    return F.when(n >= k, acc).otherwise(short)
+
+
+def shingles(tokens: Column | str, k: int = 5) -> Column:
+    """Distinct k-token shingles (space-joined) from a token array —
+    ``array_distinct`` over :func:`ngrams`.
+
+    The graft's mention-span analogue: where the reference scans text for
+    alias substrings (hyperlink_reference_linker.py:160-215), the code graft
+    shingles `content` tokens for MinHash blocking. Pure higher-order
+    functions — no UDF.
+    """
+    return F.array_distinct(ngrams(tokens, k))
 
 
 def strip_parenthetical(col: Column | str) -> Column:

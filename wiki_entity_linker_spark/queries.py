@@ -71,13 +71,18 @@ def _toks_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array({norm}, '\\W+'), x -> x <> '')"
 
 
-def _shingles_sql(tok_expr: str, k: int) -> str:
-    """DuckDB rendering of text.shingles(): distinct k-token shingles."""
+def _ngrams_sql(tok_expr: str, k: int) -> str:
+    """DuckDB rendering of text.ngrams(): k-token grams WITH multiplicity."""
     joined = f"[array_to_string({tok_expr}[i:i+{k - 1}], ' ') for i in range(1, len({tok_expr}) - {k - 2})]"
     return (
-        f"CASE WHEN len({tok_expr}) >= {k} THEN list_distinct({joined}) "
+        f"CASE WHEN len({tok_expr}) >= {k} THEN {joined} "
         f"ELSE [array_to_string({tok_expr}, ' ')] END"
     )
+
+
+def _shingles_sql(tok_expr: str, k: int) -> str:
+    """DuckDB rendering of text.shingles(): distinct k-token shingles."""
+    return f"list_distinct({_ngrams_sql(tok_expr, k)})"
 
 
 _EN = "['the','and','of','to','is','in','that','it','with','for']"
@@ -1438,6 +1443,56 @@ def elevant_counting(spark, sf_dir):
         "bucket", "tp", "fp", "fn", "ground_truth",
         F.round("precision", 6).alias("prec"),
         F.round("recall", 6).alias("rec"),
+    )
+
+
+@q(
+    "doc_repetition_stats",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       g AS (SELECT doc_id, unnest({_ngrams_sql('t', 2)}) AS g FROM toks),
+       per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       s AS (SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_ngrams,
+                    count(*) AS n_distinct,
+                    max(c) AS top_count
+             FROM per GROUP BY 1)
+       SELECT doc_id, n_ngrams,
+              round(1 - n_distinct::DOUBLE / n_ngrams, 6) AS dup_ngram_frac,
+              round(top_count::DOUBLE / n_ngrams, 6) AS top_ngram_frac
+       FROM s""",
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1): the duplicate-bigram fraction and the most-frequent-bigram
+    fraction — standard training-data filters for boilerplate/spam that the
+    reference's unigram counter (count_unigrams.py) has no analogue of.
+
+    Scale shape: one explode over :func:`functions.text.ngrams` (multiset —
+    the dedup tier's ``shingles`` is its array_distinct), then two hash
+    aggregations. A document's grams land in the same input partitions, so
+    the (doc_id, gram) partial aggregate collapses within-doc duplicates
+    map-side before the shuffle — no hot-key capping needed (keys are
+    per-document, multiplicity bounded by document length)."""
+    from wiki_entity_linker_spark.functions.text import ngrams, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_ngrams",
+        F.round(
+            F.lit(1) - F.col("n_distinct") / F.col("n_ngrams"), 6
+        ).alias("dup_ngram_frac"),
+        F.round(F.col("top_count") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
     )
 
 
