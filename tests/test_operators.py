@@ -73,3 +73,62 @@ def test_drop_stopword_blocks(spark):
     df = spark.createDataFrame(rows, "block_key string, file_id string")
     kept = drop_stopword_blocks(df, max_size=10)
     assert {r["block_key"] for r in kept.select("block_key").distinct().collect()} == {"ok"}
+
+
+def test_global_prefix_sum_matches_naive_window(spark):
+    """The two-level prefix sum (explicit range buckets + bounded windows)
+    must be bit-equal to the naive single-partition global window, including
+    on sparse/gappy id spaces and across bucket counts."""
+    from pyspark.sql import Window
+
+    from wiki_entity_linker_spark.operators.packing import global_prefix_sum
+
+    rows = [(i * 37 + (i % 5), (i * 13) % 97 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    naive = df.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("v").over(
+                Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {r["id"]: r["prefix"] for r in naive.collect()}
+    for nb in (1, 7, 64, 10_000):
+        got = {
+            r["id"]: r["prefix"]
+            for r in global_prefix_sum(df, "id", "v", n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+    # empty input: column exists, no rows
+    empty = global_prefix_sum(
+        spark.createDataFrame([], "id long, v long"), "id", "v"
+    )
+    assert empty.count() == 0 and "prefix" in empty.columns
+
+
+def test_global_prefix_sum_plan_has_no_global_data_window(spark):
+    """The scale contract: the only window with an empty partition spec runs
+    over the n_buckets-row totals frame; every window over the DATA is
+    partitioned by the bucket column."""
+    from wiki_entity_linker_spark.operators.packing import global_prefix_sum
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 11 + 1).alias("v")
+    )
+    out = global_prefix_sum(df, "id", "v", n_buckets=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert len(windows) == 2, plan
+    spec = lambda l: l.split("windowspecdefinition(")[1]
+    # the DATA window is partitioned by the bucket AND ordered by id ...
+    data_w = [l for l in windows if spec(l).startswith("__bkt") and " id#" in spec(l)]
+    assert len(data_w) == 1, windows
+    # ... and the only UNPARTITIONED window (spec starts with its ORDER
+    # column, no partition columns before it) is the bucket-offset pass —
+    # ordered by __bkt over the n_buckets-row totals aggregate, the single
+    # SinglePartition exchange in the plan
+    tiny_w = [l for l in windows if spec(l).startswith("__bkt") and " id#" not in spec(l)]
+    assert len(tiny_w) == 1, windows
+    assert plan.count("Exchange SinglePartition") == 1

@@ -1496,6 +1496,39 @@ def doc_repetition_stats(spark, sf_dir):
     )
 
 
+@q(
+    "sequence_packing",
+    f"""WITH t AS (SELECT doc_id,
+                          CAST(len({_toks_sql('text')}) AS BIGINT) AS n_tokens
+                   FROM documents),
+       s AS (SELECT doc_id, n_tokens,
+                    COALESCE(CAST(sum(n_tokens) OVER
+                      (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS seq_start
+             FROM t)
+       SELECT doc_id, n_tokens, seq_start,
+              seq_start // 2048 AS bin,
+              seq_start % 2048 AS bin_offset
+       FROM s""",
+)
+def sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing: concatenate documents in doc_id order and
+    split every 2048 tokens — each doc's global token offset, context-window
+    bin, and in-window offset. The core is a GLOBAL prefix sum, which the
+    oracle states as the naive single-partition window; the Spark side runs
+    the scale-safe two-level form (operators/packing.py: explicit range
+    buckets → tiny bucket-offset window → bounded per-bucket windows), which
+    this oracle pins bit-equal to the naive semantics."""
+    from wiki_entity_linker_spark.functions.text import token_count
+    from wiki_entity_linker_spark.operators.packing import packed_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return packed_sequences(d, "doc_id", "n_tokens", window=2048)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
