@@ -1529,6 +1529,135 @@ def sequence_packing(spark, sf_dir):
     return packed_sequences(d, "doc_id", "n_tokens", window=2048)
 
 
+@q(
+    "decontamination_flags",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       g AS (SELECT doc_id, unnest({_shingles_sql('t', 3)}) AS g FROM toks),
+       bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+       hits AS (SELECT g.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_ngrams,
+                       CAST(count(bench.g) AS BIGINT) AS contaminated_ngrams
+                FROM g LEFT JOIN bench ON g.g = bench.g
+                WHERE g.doc_id % 50 <> 0
+                GROUP BY 1)
+       SELECT doc_id, n_ngrams, contaminated_ngrams,
+              round(contaminated_ngrams::DOUBLE / n_ngrams, 6)
+                AS contamination_frac,
+              contaminated_ngrams > 0 AS is_contaminated
+       FROM hits""",
+)
+def decontamination_flags(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram with a held-out eval set (here: every 50th document stands in
+    for the benchmark) — the n-gram–overlap decontamination step every
+    serious pretraining pipeline runs (GPT-3 §C / PaLM app.; real deploys
+    use 8-13-grams, same plan shape).
+
+    Scale shape: the eval set's distinct n-grams are a BROADCAST side (eval
+    suites are tiny next to the corpus); the corpus side is one explode +
+    broadcast LEFT join + per-doc aggregation — no shuffle of corpus grams
+    against each other, no all-pairs anything."""
+    from wiki_entity_linker_spark.functions.text import shingles, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select("g").dropDuplicates(["g"])
+        .withColumn("__hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("contaminated_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "contaminated_ngrams",
+            F.round(
+                F.col("contaminated_ngrams") / F.col("n_ngrams"), 6
+            ).alias("contamination_frac"),
+            (F.col("contaminated_ngrams") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+@q(
+    "mixture_allocation",
+    f"""WITH per AS (SELECT source,
+                            CAST(sum(len({_toks_sql('text')})) AS BIGINT)
+                              AS n_tokens
+                     FROM documents GROUP BY 1),
+       w AS (SELECT source, n_tokens, sqrt(n_tokens) AS wt FROM per),
+       t AS (SELECT source, n_tokens,
+                    1000000 * wt / sum(wt) OVER () AS target
+             FROM w),
+       r AS (SELECT source, n_tokens, target,
+                    CAST(floor(target) AS BIGINT) AS base,
+                    row_number() OVER (ORDER BY target - floor(target) DESC,
+                                       source) AS rk,
+                    1000000 - CAST(sum(floor(target)) OVER () AS BIGINT)
+                      AS leftover
+             FROM t)
+       SELECT source, n_tokens,
+              base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS alloc_tokens,
+              round((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::DOUBLE
+                    / n_tokens, 6) AS sampling_rate
+       FROM r""",
+)
+def mixture_allocation(spark, sf_dir):
+    """Data-mixture allocation: split a 1M-token training budget across
+    sources with temperature weighting (weight ∝ tokens^0.5, the mT5-style
+    α<1 upweighting of low-resource sources) and exact largest-remainder
+    rounding, yielding per-source sampling rates (>1 ⇒ multi-epoch). The
+    mixing step every multi-source pretraining run performs.
+
+    Scale shape: ONE corpus-wide aggregation (per-source token sums); all
+    windows afterwards run over the #sources-row summary — metadata-scale
+    by construction, the same tiny-frame-window pattern as
+    operators/packing.py's bucket offsets."""
+    from wiki_entity_linker_spark.functions.text import token_count
+
+    budget = 1_000_000
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(token_count("text").cast("long")).alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    t = per.withColumn(
+        "target",
+        F.lit(budget) * F.sqrt("n_tokens") / F.sum(F.sqrt("n_tokens")).over(w_all),
+    )
+    r = (
+        t.withColumn("base", F.floor("target"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(
+                    (F.col("target") - F.floor("target")).desc(), F.col("source")
+                )
+            ),
+        )
+        .withColumn(
+            "leftover", F.lit(budget) - F.sum(F.floor("target")).over(w_all)
+        )
+    )
+    alloc = F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("sampling_rate"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
