@@ -63,6 +63,11 @@ SF1_QUERIES = [
     # coref core and the distributed ELEVANT counting aggregation
     "coref_antecedent_window",
     "elevant_counting",
+    # round 5 additions: the explode-heavy text ops and the two-level
+    # global prefix sum, all data-bound
+    "doc_repetition_stats",
+    "decontamination_flags",
+    "sequence_packing",
 ]
 
 

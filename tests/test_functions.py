@@ -122,3 +122,19 @@ def test_lang_id(spark):
     )
     rows = [r["l"] for r in df.select(lang_id("s").alias("l")).collect()]
     assert rows == ["en", "de", "und"]
+
+
+def test_ngrams_keeps_multiplicity_shingles_distinct(spark):
+    """ngrams preserves multiplicity and document order (the repetition
+    signals depend on it); shingles is exactly its array_distinct."""
+    from wiki_entity_linker_spark.functions.text import ngrams, shingles, tokenize
+
+    df = spark.createDataFrame([("a b a b",), ("x",), ("",)], "t string")
+    rows = df.select(
+        ngrams(tokenize("t"), 2).alias("g"),
+        shingles(tokenize("t"), 2).alias("s"),
+    ).collect()
+    assert rows[0]["g"] == ["a b", "b a", "a b"]
+    assert sorted(rows[0]["s"]) == ["a b", "b a"]
+    assert rows[1]["g"] == ["x"] and rows[1]["s"] == ["x"]  # short doc
+    assert rows[2]["g"] == [""]  # empty doc degenerates, never raises
