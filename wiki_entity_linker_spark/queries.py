@@ -1467,32 +1467,45 @@ def doc_repetition_stats(spark, sf_dir):
     fraction — standard training-data filters for boilerplate/spam that the
     reference's unigram counter (count_unigrams.py) has no analogue of.
 
-    Scale shape: one explode over :func:`functions.text.ngrams` (multiset —
-    the dedup tier's ``shingles`` is its array_distinct), then two hash
-    aggregations. A document's grams land in the same input partitions, so
-    the (doc_id, gram) partial aggregate collapses within-doc duplicates
-    map-side before the shuffle — no hot-key capping needed (keys are
-    per-document, multiplicity bounded by document length)."""
+    Scale shape: ZERO shuffles. Every signal is a per-document function of
+    its own gram multiset, so instead of explode → groupBy(doc, gram) →
+    groupBy(doc) (two corpus-wide shuffles of a 10-100x-inflated gram
+    stream — the first implementation, measured 2x slower at sf1), the
+    whole thing is row-local JVM column math: ``size``/``array_distinct``
+    for the duplicate fraction, and the top-gram count as the longest
+    equal-run of the SORTED gram array via one ``aggregate`` fold. The
+    sorted array is projected into its own column first so codegen's
+    common-subexpression elimination keeps the HOF input single-evaluated
+    (the same interpreted-HOF pitfall note as plans/er_pipeline.py)."""
     from wiki_entity_linker_spark.functions.text import ngrams, tokenize
 
     d = _t(spark, sf_dir, "documents")
-    per = (
-        d.select("doc_id", F.explode(ngrams(tokenize("text"), 2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
+    g = d.select(
+        "doc_id", F.array_sort(ngrams(tokenize("text"), 2)).alias("g")
     )
-    stats = per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_ngrams"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_count"),
+    run_zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    return stats.select(
+    top_count = F.aggregate(
+        "g",
+        run_zero,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n = F.size("g").cast("long")
+    n_distinct = F.size(F.array_distinct("g")).cast("long")
+    return g.select(
         "doc_id",
-        "n_ngrams",
-        F.round(
-            F.lit(1) - F.col("n_distinct") / F.col("n_ngrams"), 6
-        ).alias("dup_ngram_frac"),
-        F.round(F.col("top_count") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
+        n.alias("n_ngrams"),
+        F.round(F.lit(1) - n_distinct / n, 6).alias("dup_ngram_frac"),
+        F.round(top_count.cast("long") / n, 6).alias("top_ngram_frac"),
     )
 
 
