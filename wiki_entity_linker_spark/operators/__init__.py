@@ -4,6 +4,8 @@ from wiki_entity_linker_spark.operators import (  # noqa: F401
     blocking,
     closure,
     dedup,
+    multimodal,
+    packing,
     skew,
     spans,
 )
