@@ -132,3 +132,25 @@ def test_global_prefix_sum_plan_has_no_global_data_window(spark):
     tiny_w = [l for l in windows if spec(l).startswith("__bkt") and " id#" not in spec(l)]
     assert len(tiny_w) == 1, windows
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_global_prefix_sum_rejects_non_integer_order(spark):
+    import pytest as _pytest
+
+    from wiki_entity_linker_spark.operators.packing import global_prefix_sum
+
+    df = spark.createDataFrame([("a", 1)], "id string, v long")
+    with _pytest.raises(ValueError, match="integer type"):
+        global_prefix_sum(df, "id", "v")
+
+
+def test_global_prefix_sum_rejects_overflowing_span(spark):
+    import pytest as _pytest
+
+    from wiki_entity_linker_spark.operators.packing import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(-(2**62) - 5, 1), (2**62 + 5, 1)], "id long, v long"
+    )
+    with _pytest.raises(ValueError, match="span exceeds"):
+        global_prefix_sum(df, "id", "v")

@@ -49,13 +49,32 @@ def global_prefix_sum(
     if n_buckets is None:
         n_buckets = max(spark.sparkContext.defaultParallelism * 4, 8)
 
+    dt = df.schema[order_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"global_prefix_sum: order column {order_col!r} must be an "
+            f"integer type (got {dt}) — range-bucketing does arithmetic on "
+            "it; hash or zip-index string ids to long first"
+        )
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
         return df.withColumn(out_col, F.lit(0).cast("long"))
     span = (int(hi) - int(lo)) + 1
+    if span >= 1 << 62:
+        # `id - lo` would overflow int64 in the bucket expression and wrap
+        # SILENTLY (non-ANSI mode) into wrong buckets — refuse instead.
+        raise ValueError(
+            "global_prefix_sum: order-column span exceeds 2^62 "
+            f"(lo={lo}, hi={hi}) — the bucket arithmetic would overflow. "
+            "Compress the order first (e.g. xxhash64(...) with a >> 2, or a "
+            "zip-index)."
+        )
     width = max((span + n_buckets - 1) // n_buckets, 1)
+    # integral `div`, NOT `/` + cast: float division loses precision above
+    # 2^53 and would misbucket large ids (xxhash64-derived orders)
     bucketed = df.withColumn(
-        "__bkt", ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("long")
+        "__bkt",
+        F.expr(f"(cast(`{order_col}` as bigint) - {int(lo)}L) div {width}L"),
     )
 
     # per-bucket totals → exclusive bucket offsets. n_buckets rows: the one
