@@ -154,3 +154,18 @@ def test_global_prefix_sum_rejects_overflowing_span(spark):
     )
     with _pytest.raises(ValueError, match="span exceeds"):
         global_prefix_sum(df, "id", "v")
+
+
+def test_packed_sequences_bin_is_exact_above_float_precision(spark):
+    """bin must come from integral division: at seq_start near 2^53 the
+    double quotient rounds to the wrong window while bin_offset stays
+    exact, making the row self-contradictory."""
+    from wiki_entity_linker_spark.operators.packing import packed_sequences
+
+    big = (1 << 53) - 1  # floor(big/2048) = 2^42 - 1; float div rounds to 2^42
+    df = spark.createDataFrame([(0, big), (1, 5)], "id long, n long")
+    rows = {r["id"]: r for r in packed_sequences(df, "id", "n", 2048).collect()}
+    assert rows[1]["seq_start"] == big
+    assert rows[1]["bin"] == big // 2048
+    assert rows[1]["bin_offset"] == big % 2048
+    assert rows[1]["bin"] * 2048 + rows[1]["bin_offset"] == rows[1]["seq_start"]

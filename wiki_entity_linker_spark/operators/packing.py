@@ -119,10 +119,13 @@ def packed_sequences(
     out = global_prefix_sum(
         df, id_col, token_count_col, out_col="seq_start", n_buckets=n_buckets
     )
+    # integral div (not floor of a float quotient): double division loses
+    # precision above 2^53 total tokens and can place seq_start in the
+    # wrong bin while bin_offset (exact %) contradicts it
     return out.select(
         id_col,
         F.col(token_count_col).cast("long").alias("n_tokens"),
         "seq_start",
-        F.floor(F.col("seq_start") / window).alias("bin"),
+        F.expr(f"seq_start div {int(window)}L").alias("bin"),
         (F.col("seq_start") % window).alias("bin_offset"),
     )
