@@ -541,3 +541,46 @@ def test_delta_assignment_resolution_plan_is_broadcast(spark, tmp_path):
     # the lower union, cloning it per branch — still all broadcast)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_delta_mode_rerun_resumes_and_clears_stale_materialized(spark, tiny_corpus_dir, tmp_path):
+    """Two review-pinned behaviors of the delta mode: (1) a workdir that
+    previously ran MATERIALIZED mode must not let its stale
+    components/assignment tables shadow the delta resolution (they are
+    deleted when delta mode runs); (2) re-running a completed delta append
+    resumes every stage from disk — including never re-running the merge."""
+    import os
+
+    src, base, batch = _split_by_file_id(spark, tiny_corpus_dir, frac=0.8)
+    run_er_pipeline(spark, base, None, str(tmp_path / "base"))
+    wd = str(tmp_path / "inc")
+
+    # materialized first: leaves components.parquet/assignment.parquet
+    m = run_er_incremental(spark, str(tmp_path / "base"), batch, wd)
+    want = _assign_map(m["assignment"])
+    assert os.path.exists(tmp_path / "inc" / "assignment.parquet")
+    m["_cleanup"]()
+
+    # same workdir, delta mode: stale tables must be gone and the resolved
+    # view must equal the materialized result
+    d = run_er_incremental(
+        spark, str(tmp_path / "base"), batch, wd, materialize_assignment=False
+    )
+    assert not os.path.exists(tmp_path / "inc" / "assignment.parquet")
+    assert not os.path.exists(tmp_path / "inc" / "components.parquet")
+    assert _assign_map(d["assignment"]) == want
+    d["_cleanup"]()
+
+    # re-run: every stage resumes (nothing recomputed, merge included)
+    d2 = run_er_incremental(
+        spark, str(tmp_path / "base"), batch, wd, materialize_assignment=False
+    )
+    staged = {
+        k: v for k, v in d2["_counters"].items()
+        if k not in ("metrics",)
+    }
+    assert staged and all(v.get("resumed") for v in staged.values()), {
+        k: v.get("resumed") for k, v in staged.items()
+    }
+    assert _assign_map(d2["assignment"]) == want
+    d2["_cleanup"]()

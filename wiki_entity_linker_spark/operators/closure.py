@@ -286,6 +286,27 @@ def transitive_closure(
     return closure.select(F.col("a").alias(src), F.col("b").alias(dst))
 
 
+def relabel_through_map(
+    df: DataFrame,
+    relabel_map: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Apply a ``(__old_c, __new_c)`` relabel map to an ``(id, component)``
+    table: rows whose component appears in the map take the new label,
+    everything else passes through verbatim. The single relabel shape shared
+    by :func:`merge_components`, the incremental assignment stage, and
+    ``read_canonical``'s delta resolution — hint ``relabel_map`` with
+    ``F.broadcast`` (or rely on Catalyst's size stats for parquet-backed
+    maps) per call site."""
+    return df.join(
+        relabel_map, df[comp_col] == relabel_map["__old_c"], "left"
+    ).select(
+        df[id_col].alias("id"),
+        F.coalesce(relabel_map["__new_c"], df[comp_col]).alias("component"),
+    )
+
+
 def merge_components(
     old_comps: DataFrame,
     edges: DataFrame,
@@ -297,6 +318,7 @@ def merge_components(
     max_iter: int = 20,
     local_solve_threshold: int = 0,
     broadcast_threshold: int = 500_000,
+    return_map: bool = False,
 ) -> DataFrame:
     """Absorb a batch of new nodes into an existing components labeling
     WITHOUT re-running connected components over the old graph.
@@ -389,16 +411,17 @@ def merge_components(
         if merge_map.count() <= broadcast_threshold
         else merge_map
     )
-    relabeled_old = (
-        old_comps.join(
-            probed_map, F.col(comp_col) == F.col("__old_c"), "left"
-        )
-        .select(
-            F.col(id_col).alias("id"),
-            F.coalesce("__new_c", F.col(comp_col)).alias("component"),
-        )
+    relabeled_old = relabel_through_map(
+        old_comps, probed_map, id_col=id_col, comp_col=comp_col
     )
     new_assign = mini.join(
         new_nodes.select(F.col(id_col).alias("id")), "id", "left_semi"
     ).select("id", "component")
-    return relabeled_old.unionByName(new_assign)
+    out = relabeled_old.unionByName(new_assign)
+    if return_map:
+        # the batch-sized relabel map is a byproduct the incremental append
+        # needs verbatim (its assignment stage applies the SAME map to the
+        # corpus-sized assignment) — returning it saves the caller a
+        # corpus-scale re-derivation from the merged output
+        return out, merge_map
+    return out

@@ -68,7 +68,10 @@ from pyspark.sql import functions as F
 
 from wiki_entity_linker_spark.eval.pairwise import evaluate_against_labeled_pairs
 from wiki_entity_linker_spark.operators.blocking import pairs_from_blocks, with_file_id
-from wiki_entity_linker_spark.operators.closure import merge_components
+from wiki_entity_linker_spark.operators.closure import (
+    merge_components,
+    relabel_through_map,
+)
 from wiki_entity_linker_spark.operators.skew import (
     cap_and_salt_blocks,
     spread_small_input,
@@ -148,13 +151,7 @@ def read_canonical(
         with open(cp) as f:
             base_workdir = json.load(f)["base"]
         base = read_canonical(spark, base_workdir, name, store_factory=store_factory)
-        m = st.read(spark, "relabel_map")
-        relabeled = base.join(
-            m, base["component"] == m["__old_c"], "left"
-        ).select(
-            base["id"],
-            F.coalesce(m["__new_c"], base["component"]).alias("component"),
-        )
+        relabeled = relabel_through_map(base, st.read(spark, "relabel_map"))
         delta = "batch_components" if name == "components" else "batch_assignment"
         return relabeled.unionByName(st.read(spark, delta).select("id", "component"))
     if name not in _DELTA_STAGES or not os.path.exists(cp):
@@ -401,42 +398,59 @@ def run_er_incremental(
     scores = mgr.stage("batch_scores", _scores)
     edges = mgr.stage("batch_edges", lambda: match_edges(scores, cfg))
 
-    # 6. merge into the existing labeling (batch-sized mini graph)
-    def _merge() -> DataFrame:
-        return merge_components(
-            old_comps,
-            edges,
-            new_rep_ids.select(F.col("file_id").alias("id")),
-            id_col="id",
-            comp_col="component",
-            max_iter=cfg.max_cc_iter,
-            local_solve_threshold=cfg.cc_local_solve_threshold,
-            broadcast_threshold=cfg.merge_broadcast_threshold,
-        )
+    # 6. merge into the existing labeling (batch-sized mini graph). Lazy AND
+    # memoized: on a fully-resumed re-run every consumer stage below loads
+    # from disk without invoking its thunk, so the merge itself must not run
+    # eagerly here (it costs several jobs, including joins against the
+    # corpus-sized old components view).
+    _merged: list = []
 
-    # the merged view is materialized as the "components" stage table in the
-    # default mode; in delta mode it stays a lazy view (its expensive inner
-    # pieces are already cut inside merge_components) and only the
-    # batch-sized delta stages below are written
-    comps = mgr.stage("components", _merge) if materialize_assignment else _merge()
+    def _merge():
+        if not _merged:
+            _merged.append(
+                merge_components(
+                    old_comps,
+                    edges,
+                    new_rep_ids.select(F.col("file_id").alias("id")),
+                    id_col="id",
+                    comp_col="component",
+                    max_iter=cfg.max_cc_iter,
+                    local_solve_threshold=cfg.cc_local_solve_threshold,
+                    broadcast_threshold=cfg.merge_broadcast_threshold,
+                    # the batch-sized relabel map is reused verbatim by the
+                    # assignment/delta stages — re-deriving it from the merged
+                    # output would cost a corpus-scale semi-join per stage
+                    return_map=True,
+                )
+            )
+        return _merged[0]
 
-    old_label_rows = old_comps.filter(
-        F.col("id") == F.col("component")
-    ).select("id")
+    comps: DataFrame
+    if materialize_assignment:
+        comps = mgr.stage("components", lambda: _merge()[0])
+    else:
+        # delta mode materializes only the batch-sized stages below; the
+        # merged view stays lazy (its expensive inner pieces are cut inside
+        # merge_components when it actually runs)
+        comps = None  # type: ignore[assignment]
 
-    def _changed() -> DataFrame:
-        # batch-sized relabel map: an old label x is its own component in
-        # old_comps, so x is touched iff comps[x] != x
+    def _changed_from(comps_df: DataFrame) -> DataFrame:
+        # fallback derivation when the components stage RESUMED from disk
+        # (so merge_components never ran this invocation): an old label x is
+        # its own component in old_comps, so x is touched iff comps[x] != x
+        old_label_rows = old_comps.filter(
+            F.col("id") == F.col("component")
+        ).select("id")
         return (
-            comps.join(old_label_rows, "id", "left_semi")
+            comps_df.join(old_label_rows, "id", "left_semi")
             .filter(F.col("component") != F.col("id"))
             .select(F.col("id").alias("__old_c"), F.col("component").alias("__new_c"))
         )
 
-    def _batch_members() -> DataFrame:
+    def _batch_members(comps_src: DataFrame) -> DataFrame:
         # every batch file's row: hash hits via their old rep, new files via
         # their batch rep. comps covers old reps ∪ new reps by construction.
-        rep_comp = comps.join(
+        rep_comp = comps_src.join(
             batch_groups.select(F.col("rep_id").alias("id")), "id", "left_semi"
         ).select(F.col("id").alias("rep_id"), "component")
         return (
@@ -454,34 +468,41 @@ def run_er_incremental(
         # when a pathological batch bridges more base clusters than
         # cfg.merge_broadcast_threshold.
         def _assign() -> DataFrame:
-            # consumed by the size probe and the relabel join; the semi-join
-            # against corpus-sized old_label_rows must run once
-            changed = _changed().localCheckpoint(eager=True)
+            if _merged:  # merge ran this invocation: its map is already cut
+                changed = _merged[0][1]
+            else:  # components stage resumed: derive the map from the table
+                changed = _changed_from(comps).localCheckpoint(eager=True)
             probed = (
                 F.broadcast(changed)
                 if changed.count() <= cfg.merge_broadcast_threshold
                 else changed
             )
-            relabeled_old = old_assign.join(
-                probed, F.col("component") == F.col("__old_c"), "left"
-            ).select(
-                "id", F.coalesce("__new_c", F.col("component")).alias("component")
-            )
-            return relabeled_old.unionByName(_batch_members())
+            relabeled_old = relabel_through_map(old_assign, probed)
+            return relabeled_old.unionByName(_batch_members(comps))
 
         assignment = mgr.stage("assignment", _assign)
     else:
         # 7 (delta mode). write ONLY the batch-sized pieces; the whole-corpus
         # components/assignment views resolve through read_canonical (base
-        # relabeled through the map ∪ batch rows, nesting across the chain)
-        mgr.stage("relabel_map", _changed)
+        # relabeled through the map ∪ batch rows, nesting across the chain).
+        # A stale materialized components/assignment table from an earlier
+        # materialized-mode run of this workdir would SHADOW the delta
+        # resolution (read_canonical returns any existing table first), so
+        # delete them before the chain pointer lands.
+        for stale in ("components", "assignment"):
+            if mgr.store.exists(spark, stale):
+                mgr.store.delete(spark, stale)
+            stale_meta = os.path.join(workdir, f"{stale}.meta.json")
+            if os.path.exists(stale_meta):
+                os.remove(stale_meta)
+        mgr.stage("relabel_map", lambda: _merge()[1])
         mgr.stage(
             "batch_components",
-            lambda: comps.join(
+            lambda: _merge()[0].join(
                 new_rep_ids.select(F.col("file_id").alias("id")), "id", "left_semi"
             ),
         )
-        mgr.stage("batch_assignment", _batch_members)
+        mgr.stage("batch_assignment", lambda: _batch_members(_merge()[0]))
 
     # 8. chain pointer: the bulky index tables (features/raw_blocks/
     # exact_groups) are NOT re-written — the batch delta stage tables above
