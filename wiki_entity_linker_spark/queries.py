@@ -1613,7 +1613,8 @@ def decontamination_flags(spark, sf_dir):
              FROM w),
        r AS (SELECT source, n_tokens, target,
                     CAST(floor(target) AS BIGINT) AS base,
-                    row_number() OVER (ORDER BY target - floor(target) DESC,
+                    row_number() OVER (ORDER BY round(target - floor(target), 6)
+                                                DESC,
                                        source) AS rk,
                     1000000 - CAST(sum(floor(target)) OVER () AS BIGINT)
                       AS leftover
@@ -1651,10 +1652,16 @@ def mixture_allocation(spark, sf_dir):
     r = (
         t.withColumn("base", F.floor("target"))
         .withColumn(
+            # rank on the ROUNDED fractional part: the raw doubles come from
+            # independent Spark/DuckDB float pipelines, and a last-ulp
+            # difference between two near-tied sources would flip the rank
+            # (and the ±1 leftover token) between engines — rounding to 6dp
+            # collapses near-ties into exact ties broken by source name
             "rk",
             F.row_number().over(
                 Window.orderBy(
-                    (F.col("target") - F.floor("target")).desc(), F.col("source")
+                    F.round(F.col("target") - F.floor("target"), 6).desc(),
+                    F.col("source"),
                 )
             ),
         )
