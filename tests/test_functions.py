@@ -138,3 +138,47 @@ def test_ngrams_keeps_multiplicity_shingles_distinct(spark):
     assert sorted(rows[0]["s"]) == ["a b", "b a"]
     assert rows[1]["g"] == ["x"] and rows[1]["s"] == ["x"]  # short doc
     assert rows[2]["g"] == [""]  # empty doc degenerates, never raises
+
+
+def test_redact_pii_and_counts(spark):
+    from wiki_entity_linker_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@sub.example.co.uk now",),
+            ("host 192.168.0.1 and 10.0.0.255 up",),
+            ("call 555-123-4567 or 555-000-1111",),
+            ("clean text with no pii at all",),
+            ("user5@mail.example.com at 10.1.2.3 call 555-111-2222",),
+        ],
+        "t string",
+    )
+    out = df.select(
+        redact_pii("t").alias("r"),
+        pii_count("t", "email").alias("e"),
+        pii_count("t", "ipv4").alias("ip"),
+        pii_count("t", "phone").alias("ph"),
+    ).collect()
+    assert out[0]["r"] == "mail [EMAIL] now" and out[0]["e"] == 1
+    assert out[1]["r"] == "host [IPV4] and [IPV4] up" and out[1]["ip"] == 2
+    assert out[2]["r"] == "call [PHONE] or [PHONE]" and out[2]["ph"] == 2
+    assert out[3]["r"] == "clean text with no pii at all"
+    assert out[4]["r"] == "[EMAIL] at [IPV4] call [PHONE]"
+
+
+def test_chunk_count_boundaries(spark):
+    from wiki_entity_linker_spark.functions.text import chunk_count
+
+    W, S = 64, 48
+    df = spark.createDataFrame(
+        [(0,), (1,), (64,), (65,), (112,), (113,), (1000,)], "n long"
+    )
+    got = {
+        r["n"]: r["nc"]
+        for r in df.select("n", chunk_count("n", W, S).alias("nc")).collect()
+    }
+    # n <= W: one chunk; W+1: the 2nd window starts at S and is needed;
+    # W + S exactly: still 2; W + S + 1: 3
+    assert got == {0: 1, 1: 1, 64: 1, 65: 2, 112: 2, 113: 3, 1000: 21}
+    with pytest.raises(ValueError, match="stride"):
+        chunk_count("n", 10, 11)

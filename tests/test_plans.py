@@ -174,3 +174,35 @@ def test_neardup_operators_scan_once(spark, sf001):
         plan = _plan(q(spark, sf001))
         assert plan.count("Scan parquet") == 0, q.__name__
         assert "ExistingRDD" in plan, q.__name__
+
+
+def test_round5_text_ops_plan_shapes(spark, sf001):
+    """The round-5 pipeline ops keep their documented scale shapes:
+    pii_redaction and doc_chunks are shuffle-FREE (scan → project /
+    scan → generate); token_budget_sample's only exchange is the
+    partition-by-source window (no single-partition funnel); bm25_topk's
+    single SinglePartition exchange is the candidate-only top-k window."""
+    from wiki_entity_linker_spark.queries import (
+        bm25_topk,
+        doc_chunks,
+        pii_redaction,
+        token_budget_sample,
+    )
+
+    for q in (pii_redaction, doc_chunks):
+        plan = _plan(q(spark, sf001))
+        assert "Exchange" not in plan, q.__name__
+        assert "Join" not in plan, q.__name__
+
+    plan = _plan(token_budget_sample(spark, sf001))
+    # formatted explain names each node in the tree and once more in the
+    # details section — one physical Exchange ⇒ ≤2 mentions
+    assert plan.count("Exchange") <= 2
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+    plan = _plan(bm25_topk(spark, sf001))
+    assert plan.count("SinglePartition") == 1  # the top-k window only
+    assert "CartesianProduct" not in plan
+    # query terms + df + stats all broadcast into the token stream
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -217,3 +217,43 @@ def fingerprint(col: Column | str) -> Column:
     """Order-sensitive document fingerprint: portable h64 over the normalized
     content (rolling-hash analogue, stable across engines)."""
     return h64(normalize_content(col))
+
+
+# PII scrubbing — the redaction pass a pretraining pipeline runs before any
+# text leaves the ingest tier. Patterns are deliberately written in the
+# RE2 ∩ java.util.regex common dialect (non-capturing groups, \b, \d, bounded
+# repetition) so the SAME literal string drives both the Spark production
+# path and the DuckDB oracle. Replacement order is load-bearing: emails are
+# consumed first so their digit runs can't be re-matched as phones/IPs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind (``email``/``ipv4``/``phone``)."""
+    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its ``[KIND]`` tag, in dict order."""
+    c = _c(col)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+def chunk_count(n_tokens: Column | str, window: int, stride: int) -> Column:
+    """Number of ``window``-token chunks advancing by ``stride`` that cover a
+    document of ``n_tokens`` tokens: 1 when it fits in one window, else
+    ``ceil((n - window) / stride) + 1``. Float ``floor`` is exact here —
+    unlike the corpus-wide prefix sum in operators/packing.py, a PER-DOCUMENT
+    token count is nowhere near 2^53."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    n = _c(n_tokens)
+    return F.when(n <= window, F.lit(1).cast("long")).otherwise(
+        F.floor((n - window + (stride - 1)) / stride).cast("long") + 1
+    )

@@ -1678,6 +1678,226 @@ def mixture_allocation(spark, sf_dir):
     )
 
 
+def _pii_aug_sql() -> str:
+    """DuckDB rendering of the deterministic PII augmentation (the synthetic
+    corpus is digit-free word salad, so PII is injected from doc_id — same
+    literal construction as the Spark side of :func:`pii_redaction`)."""
+    return (
+        "text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' node 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.0.' ||"
+        " CAST((doc_id * 7) % 256 AS VARCHAR) || ' up' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' ||"
+        " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from wiki_entity_linker_spark.functions.text import PII_PATTERNS
+
+    e, ip, ph = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{e}', '[EMAIL]', 'g'),"
+        f" '{ip}', '[IPV4]', 'g'), '{ph}', '[PHONE]', 'g')"
+    )
+    return f"""WITH aug AS (SELECT doc_id, {_pii_aug_sql()} AS t FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phones,
+              CAST(length({redacted}) AS BIGINT) AS redacted_len,
+              len(regexp_extract_all(t, '{e}')) + len(regexp_extract_all(t, '{ip}'))
+                + len(regexp_extract_all(t, '{ph}')) = 0 AS is_clean
+       FROM aug"""
+
+
+@q("pii_redaction", _pii_oracle_sql())
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing: count and redact emails / IPv4s / phone numbers per
+    document — the redaction pass every pretraining pipeline runs at ingest.
+    The synthetic corpus is digit-free, so PII is injected deterministically
+    from doc_id (identical literal construction on both engines) to give the
+    regexes real work; counts run on the raw text, redaction replaces in a
+    fixed order (emails first — see functions/text.PII_PATTERNS).
+
+    Scale shape: pure row-local JVM regex column math — zero shuffles, zero
+    UDFs; the physical plan is scan → project."""
+    from wiki_entity_linker_spark.functions.text import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" node 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+                F.lit(" up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    x = d.select("doc_id", aug.alias("t"))
+    n_e = pii_count("t", "email").cast("long")
+    n_ip = pii_count("t", "ipv4").cast("long")
+    n_ph = pii_count("t", "phone").cast("long")
+    return x.select(
+        "doc_id",
+        n_e.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_ph.alias("n_phones"),
+        F.length(redact_pii("t")).cast("long").alias("redacted_len"),
+        ((n_e + n_ip + n_ph) == 0).alias("is_clean"),
+    )
+
+
+@q(
+    "doc_chunks",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       d AS (SELECT doc_id, t,
+                    CASE WHEN len(t) <= 64 THEN 1
+                         ELSE (len(t) - 64 + 47) // 48 + 1 END AS nc
+             FROM toks)
+       SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+              CAST(len(t[i*48+1 : i*48+64]) AS BIGINT) AS chunk_tokens,
+              array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text
+       FROM d, unnest(range(CAST(nc AS BIGINT))) AS u(i)""",
+)
+def doc_chunks(spark, sf_dir):
+    """Context-window chunking: split each document's token stream into
+    64-token chunks advancing by 48 (16-token overlap) — the
+    chunk-for-embedding / chunk-for-RAG step of a training-data pipeline.
+    The last chunk is the ragged tail; a document shorter than one window
+    yields exactly one chunk.
+
+    Scale shape: row-local explode — each document expands to its own chunks
+    with no shuffle at all (scan → generate → project); chunk count uses
+    integral arithmetic (functions/text.chunk_count)."""
+    from wiki_entity_linker_spark.functions.text import chunk_count, tokenize
+
+    W, S = 64, 48
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("t"))
+    x = toks.withColumn("nc", chunk_count(F.size("t"), W, S))
+    return (
+        x.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .withColumn("c", F.expr(f"slice(t, CAST(chunk_id * {S} + 1 AS INT), {W})"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("c").cast("long").alias("chunk_tokens"),
+            F.concat_ws(" ", "c").alias("chunk_text"),
+        )
+    )
+
+
+@q(
+    "bm25_topk",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       q AS (SELECT unnest(['spark', 'merge', 'window']) AS token),
+       tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok JOIN q USING (token) GROUP BY 1, 2),
+       dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+       w AS (SELECT tf.doc_id,
+                    CAST(round((ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                         * ((tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))))
+                         * 1e9) AS BIGINT) AS w9
+             FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       s AS (SELECT doc_id, CAST(sum(w9) AS BIGINT) AS s9 FROM w GROUP BY 1),
+       r AS (SELECT doc_id, s9,
+                    row_number() OVER (ORDER BY s9 DESC, doc_id) AS rank
+             FROM s)
+       SELECT doc_id, round(s9 / 1e9, 6) AS score, CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= 20""",
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval: top-20 documents for the fixed query
+    {spark, merge, window} (operators/retrieval.py — see its module
+    docstring for the broadcast/candidate-only scale shape and the
+    int64-scaled order-independent scoring that makes the DuckDB oracle
+    bit-exact)."""
+    from wiki_entity_linker_spark.operators.retrieval import bm25_topk as _bm25
+
+    d = _t(spark, sf_dir, "documents")
+    return _bm25(d, ["spark", "merge", "window"], k=20)
+
+
+@q(
+    "token_budget_sample",
+    f"""WITH d AS (SELECT doc_id, source,
+                          CAST(len({_toks_sql('text')}) AS BIGINT) AS n_tokens,
+                          {h64_sql('CAST(doc_id AS VARCHAR)')} AS key
+                  FROM documents)
+       SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                <= 2000 AS kept
+       FROM d""",
+)
+def token_budget_sample(spark, sf_dir):
+    """Per-source token-budget sampling: walk each source's documents in a
+    reproducible hash order and keep documents until the source's token
+    budget (2000 here) is exhausted — the row-level realization of
+    mixture_allocation's per-source rates (that query decides HOW MANY
+    tokens per source; this one decides WHICH documents).
+
+    Scale shape: one window partitioned BY SOURCE — the cumulative sum never
+    funnels the corpus through a single partition (contrast
+    sequence_packing, whose global order needs the two-level prefix sum);
+    skewed sources are bounded by the budget itself (order by the portable
+    h64 makes the kept set independent of physical row order)."""
+    from wiki_entity_linker_spark.functions.hashing import h64
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        h64(F.col("doc_id").cast("string")).alias("key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        (cum <= 2000).alias("kept"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
