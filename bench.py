@@ -68,6 +68,14 @@ SF1_QUERIES = [
     "doc_repetition_stats",
     "decontamination_flags",
     "sequence_packing",
+    # round 5, second batch: regex scrubbing, chunk explode, retrieval,
+    # and the per-source budget window — all scale with the corpus
+    "pii_redaction",
+    "doc_chunks",
+    "bm25_topk",
+    "token_budget_sample",
+    "segment_dedup",
+    "length_quantiles",
 ]
 
 

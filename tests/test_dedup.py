@@ -334,3 +334,36 @@ def test_minhash_neardup_stage_table_cut_matches(spark, tmp_path):
     assert got == want and want  # non-empty: the planted near-pair found
     assert mgr.store.exists(spark, "minhash_toks")
     assert mgr.store.exists(spark, "minhash_blocks")
+
+
+def test_segment_dedup_first_writer_wins(spark, tmp_path):
+    from wiki_entity_linker_spark.operators.dedup import segment_dedup_stats
+    from wiki_entity_linker_spark.plans.checkpoint import StageManager
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),  # [a b][c d][a b]: idx2 duplicates idx0
+            (2, "c d e"),        # [c d] loses to doc1 idx1; ragged [e] kept
+            (3, ""),             # empty: absent from the output
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        1: (6, 3, 2, 4, 2),
+        2: (3, 2, 1, 1, 2),
+    }
+
+    def rows(mgr=None):
+        return {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_segments"], r["n_kept"],
+                r["kept_tokens"], r["dup_tokens"],
+            )
+            for r in segment_dedup_stats(df, seg_len=2, mgr=mgr).collect()
+        }
+
+    assert rows() == want
+    # the durable-stage path is plan-identical and lands the cut on disk
+    mgr = StageManager(spark, str(tmp_path / "segdedup_stages"), {"op": "sd"})
+    assert rows(mgr) == want
+    assert mgr.store.exists(spark, "segment_dedup_seg")

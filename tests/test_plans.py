@@ -206,3 +206,30 @@ def test_round5_text_ops_plan_shapes(spark, sf001):
     assert "CartesianProduct" not in plan
     # query terms + df + stats all broadcast into the token stream
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_segment_dedup_plan_shape(spark, sf001):
+    """segment_dedup scans/tokenizes the corpus once (the eager cut), never
+    goes corpus x corpus, and keeps the winner agg partial (map-side
+    combine before the hash shuffle)."""
+    from wiki_entity_linker_spark.queries import segment_dedup
+
+    plan = _plan(segment_dedup(spark, sf001))
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side combine on the winner agg
+
+
+def test_length_quantiles_plan_shape(spark, sf001):
+    """Exact quantiles via the histogram: the corpus-sized aggregation is
+    map-side partial; every window runs partitioned by source over the
+    summary frame (no single-partition funnel, no joins)."""
+    from wiki_entity_linker_spark.queries import length_quantiles
+
+    plan = _plan(length_quantiles(spark, sf001))
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "hashpartitioning(source" in plan

@@ -503,3 +503,79 @@ def embedding_neardup_lsh_pairs(
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def segment_dedup_stats(
+    docs: DataFrame,
+    seg_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mgr=None,
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup, CCNet-style (Wenzek et al.
+    2020 §4.1 deduplicates hashed paragraphs across the whole snapshot;
+    the synthetic corpus has no paragraph breaks, so the unit here is a
+    fixed ``seg_len``-token segment — the last segment per document is the
+    ragged tail).
+
+    A segment occurrence is KEPT iff it is the lexicographically first
+    ``(doc_id, seg_idx)`` holding that segment's hash — first-writer-wins
+    across the corpus AND within a document. Returns one row per non-empty
+    document: ``(doc_id, n_tokens, n_segments, n_kept, kept_tokens,
+    dup_tokens)`` — all exact integers, so the DuckDB oracle is bit-exact.
+
+    Scale shape (100 TB reading): explode is row-local; the winner pass is
+    a map-side-combinable ``groupBy(hash).min(struct)`` (uniform hash keys
+    → no planned skew); the join back is hash-partitioned on the same key
+    so AQE reuses/splits as needed (a pathological boilerplate segment
+    repeated billions of times is a single hot JOIN key — AQE skew-join
+    splits it, and the upstream repetition filter drops such docs anyway);
+    the final per-doc rollup is the third and last shuffle. Nothing is ever
+    corpus × corpus.
+    """
+    if seg_len < 1:
+        raise ValueError(f"seg_len must be >= 1, got {seg_len}")
+    toks = docs.select(id_col, tokenize(text_col).alias("t")).filter(F.size("t") > 0)
+    nseg = F.floor((F.size("t") + (seg_len - 1)) / seg_len).cast("long")
+    segs = toks.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("seg_idx"),
+        "t",
+    ).select(
+        id_col,
+        "n_tokens",
+        "seg_idx",
+        F.expr(f"slice(t, CAST(seg_idx * {seg_len} + 1 AS INT), {seg_len})").alias("seg"),
+    )
+    # the segment frame is consumed twice (winner agg + join back) — cut it
+    # once so the corpus is scanned and tokenized a single time (_cut:
+    # localCheckpoint locally, durable stage table with a StageManager)
+    seg = _cut(
+        segs.select(
+            id_col,
+            "n_tokens",
+            "seg_idx",
+            F.size("seg").cast("long").alias("seg_tokens"),
+            h64(F.concat_ws(" ", "seg")).alias("h"),
+        ),
+        mgr,
+        "segment_dedup_seg",
+    )
+    winners = seg.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
+    )
+    kept = seg.join(winners, "h").withColumn(
+        "is_kept",
+        (F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("seg_idx") == F.col("w.seg_idx")),
+    )
+    return kept.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), F.col("seg_tokens")).otherwise(0)).alias("kept_tokens"),
+        (
+            F.first("n_tokens")
+            - F.sum(F.when(F.col("is_kept"), F.col("seg_tokens")).otherwise(0))
+        ).alias("dup_tokens"),
+    )

@@ -1898,6 +1898,114 @@ def token_budget_sample(spark, sf_dir):
     )
 
 
+@q(
+    "segment_dedup",
+    f"""WITH toks AS (SELECT doc_id, t FROM
+                     (SELECT doc_id, {_toks_sql('text')} AS t FROM documents)
+                     WHERE len(t) > 0),
+       segs AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                       CAST(i AS BIGINT) AS seg_idx,
+                       CAST(len(t[i*8+1 : i*8+8]) AS BIGINT) AS seg_tokens,
+                       {h64_sql("array_to_string(t[i*8+1 : i*8+8], ' ')")} AS h
+                FROM toks, unnest(range(CAST((len(t) + 7) // 8 AS BIGINT))) AS u(i)),
+       win AS (SELECT h, min(doc_id) AS wdoc FROM segs GROUP BY 1),
+       win2 AS (SELECT s.h, w.wdoc, min(s.seg_idx) AS widx
+                FROM segs s JOIN win w ON s.h = w.h AND s.doc_id = w.wdoc
+                GROUP BY 1, 2),
+       k AS (SELECT s.doc_id, s.n_tokens, s.seg_tokens,
+                    s.doc_id = w.wdoc AND s.seg_idx = w.widx AS is_kept
+             FROM segs s JOIN win2 w USING (h))
+       SELECT doc_id,
+              CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_segments,
+              CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN is_kept THEN seg_tokens ELSE 0 END) AS BIGINT)
+                AS kept_tokens,
+              CAST(max(n_tokens)
+                   - sum(CASE WHEN is_kept THEN seg_tokens ELSE 0 END) AS BIGINT)
+                AS dup_tokens
+       FROM k GROUP BY 1""",
+)
+def segment_dedup(spark, sf_dir):
+    """Corpus-wide segment-level exact dedup (CCNet-style paragraph dedup;
+    fixed 8-token segments stand in for paragraphs — the synthetic corpus
+    has no breaks). First-writer-wins by (doc_id, seg_idx); per-document
+    retained/duplicated token accounting. See
+    operators/dedup.segment_dedup_stats for the three-shuffle scale shape
+    (hash-keyed winner agg + AQE-splittable join back + per-doc rollup)."""
+    from wiki_entity_linker_spark.operators.dedup import segment_dedup_stats
+
+    return segment_dedup_stats(_t(spark, sf_dir, "documents"), seg_len=8)
+
+
+@q(
+    "length_quantiles",
+    f"""WITH d AS (SELECT source, CAST(len({_toks_sql('text')}) AS BIGINT) AS n
+                  FROM documents),
+       hist AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c
+                FROM d GROUP BY 1, 2),
+       cum AS (SELECT source, n, c,
+                      sum(c) OVER (PARTITION BY source ORDER BY n
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(c) OVER (PARTITION BY source) AS n_docs,
+                      sum(n * c) OVER (PARTITION BY source) AS tot
+               FROM hist)
+       SELECT source,
+              CAST(max(n_docs) AS BIGINT) AS n_docs,
+              CAST(min(n) AS BIGINT) AS min_tokens,
+              CAST(max(n) AS BIGINT) AS max_tokens,
+              round(CAST(max(tot) AS DOUBLE) / max(n_docs), 6) AS mean_tokens,
+              CAST(min(CASE WHEN cum >= ceil(0.5 * n_docs) THEN n END) AS BIGINT)
+                AS p50,
+              CAST(min(CASE WHEN cum >= ceil(0.9 * n_docs) THEN n END) AS BIGINT)
+                AS p90,
+              CAST(min(CASE WHEN cum >= ceil(0.99 * n_docs) THEN n END) AS BIGINT)
+                AS p99
+       FROM cum GROUP BY 1""",
+)
+def length_quantiles(spark, sf_dir):
+    """Per-source token-length profile with EXACT discrete quantiles
+    (p50/p90/p99 = smallest length whose cumulative doc count reaches
+    ceil(q * n_docs)) — corpus profiling for mixture design and length
+    filtering.
+
+    Scale shape: quantiles via the HISTOGRAM, not a sort — one map-side-
+    combinable groupBy over the corpus collapses it to (source, length)
+    cells; every window/aggregate after that runs over the summary frame
+    (#sources × #distinct-lengths rows), so nothing corpus-sized is ever
+    sorted or buffered per group (contrast percentile()/approx_percentile,
+    which buffer or sketch per group). Exact integers end to end; the one
+    double (mean) is a single division of identical ints on both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("long").alias("n")
+    )
+    hist = d.groupBy("source", "n").agg(F.count("*").alias("c"))
+    ws = Window.partitionBy("source")
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("c").over(ws.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n_docs", F.sum("c").over(ws))
+        .withColumn("tot", F.sum(F.col("n") * F.col("c")).over(ws))
+    )
+
+    def _p(qq: float):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(qq) * F.col("n_docs")), F.col("n"))
+        ).cast("long")
+
+    return cum.groupBy("source").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+        F.round(F.max("tot").cast("double") / F.max("n_docs"), 6).alias("mean_tokens"),
+        _p(0.5).alias("p50"),
+        _p(0.9).alias("p90"),
+        _p(0.99).alias("p99"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
