@@ -76,6 +76,9 @@ SF1_QUERIES = [
     "token_budget_sample",
     "segment_dedup",
     "length_quantiles",
+    # round 5, third batch: suffix-array-semantics dedup — the gram explode
+    # plus two gram-keyed shuffles are all data-bound
+    "exact_substring_dup",
 ]
 
 

@@ -367,3 +367,40 @@ def test_segment_dedup_first_writer_wins(spark, tmp_path):
     mgr = StageManager(spark, str(tmp_path / "segdedup_stages"), {"op": "sd"})
     assert rows(mgr) == want
     assert mgr.store.exists(spark, "segment_dedup_seg")
+
+
+def test_exact_substring_coverage_planted(spark, tmp_path):
+    from wiki_entity_linker_spark.operators.dedup import exact_substring_coverage
+    from wiki_entity_linker_spark.plans.checkpoint import StageManager
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # grams "a b c"@0, "b c d"@1 shared with doc2
+            (2, "x a b c d y"),  # ...@1, @2 here
+            (3, "z z z z"),      # "z z z" twice WITHIN the doc (suffix-array rule)
+            (4, "p q"),          # shorter than k: no grams, zero coverage
+        ],
+        "doc_id long, text string",
+    )
+    # doc1: starts {0,1} -> union [0,4) = 4 of 6; doc2: {1,2} -> [1,5) = 4
+    # doc3: {0,1} -> [0,4) = all 4; doc4: nothing
+    want = {
+        1: (6, 2, 4, 0.666667),
+        2: (6, 2, 4, 0.666667),
+        3: (4, 2, 4, 1.0),
+        4: (2, 0, 0, 0.0),
+    }
+
+    def rows(mgr=None):
+        return {
+            r["doc_id"]: (
+                r["n_tokens"], r["dup_starts"],
+                r["covered_tokens"], r["covered_frac"],
+            )
+            for r in exact_substring_coverage(df, k=3, mgr=mgr).collect()
+        }
+
+    assert rows() == want
+    mgr = StageManager(spark, str(tmp_path / "exsub_stages"), {"op": "es"})
+    assert rows(mgr) == want
+    assert mgr.store.exists(spark, "exact_substring_grams")

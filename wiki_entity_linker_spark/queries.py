@@ -2006,6 +2006,48 @@ def length_quantiles(spark, sf_dir):
     )
 
 
+@q(
+    "exact_substring_dup",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks),
+       gl AS (SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens >= 5
+                          THEN [array_to_string(t[i:i+4], ' ')
+                                for i in range(1, len(t) - 3)]
+                          ELSE [] END AS gl
+              FROM base),
+       g AS (SELECT doc_id, unnest(gl) AS g,
+                    generate_subscripts(gl, 1) - 1 AS pos
+             FROM gl),
+       dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+       dp AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+       c AS (SELECT doc_id, pos,
+                    least(5, COALESCE(lead(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS contrib
+             FROM dp),
+       cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts,
+                      CAST(sum(contrib) AS BIGINT) AS covered_tokens
+               FROM c GROUP BY 1)
+       SELECT b.doc_id, b.n_tokens,
+              COALESCE(dup_starts, 0) AS dup_starts,
+              COALESCE(covered_tokens, 0) AS covered_tokens,
+              round(CASE WHEN b.n_tokens > 0
+                         THEN COALESCE(covered_tokens, 0)::DOUBLE / b.n_tokens
+                         ELSE 0 END, 6) AS covered_frac
+       FROM base b LEFT JOIN cov USING (doc_id)""",
+)
+def exact_substring_dup(spark, sf_dir):
+    """Suffix-array ExactSubstr dedup semantics (Lee et al. 2022),
+    distributed: per document, the token positions whose 5-gram occurs more
+    than once in the whole corpus and the union coverage of those [p, p+5)
+    intervals. See operators/dedup.exact_substring_coverage for the scale
+    shape (one materialized gram pass, two gram-keyed shuffles — count-only
+    duplicate agg + semi join, no pairwise blowup)."""
+    from wiki_entity_linker_spark.operators.dedup import exact_substring_coverage
+
+    return exact_substring_coverage(_t(spark, sf_dir, "documents"), k=5)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
