@@ -25,6 +25,7 @@ from wiki_entity_linker_spark.functions.text import (
     lang_marker_hits,
     normalize_content,
     quality_score,
+    shingles,
     token_count,
     tokenize,
 )
@@ -2046,6 +2047,76 @@ def exact_substring_dup(spark, sf_dir):
     from wiki_entity_linker_spark.operators.dedup import exact_substring_coverage
 
     return exact_substring_coverage(_t(spark, sf_dir, "documents"), k=5)
+
+
+@q(
+    "source_overlap",
+    f"""WITH toks AS (SELECT source, {_toks_sql('text')} AS t FROM documents),
+       sg AS (SELECT DISTINCT source, g
+              FROM (SELECT source, unnest({_shingles_sql('t', 3)}) AS g
+                    FROM toks)),
+       n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+       sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+              GROUP BY 1, 2),
+       ap AS (SELECT a.source AS source_a, b.source AS source_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM n a JOIN n b ON a.source < b.source)
+       SELECT ap.source_a, ap.source_b, n_a, n_b,
+              COALESCE(shared, 0) AS shared,
+              round(COALESCE(shared, 0)::DOUBLE
+                    / (n_a + n_b - COALESCE(shared, 0)), 6) AS jaccard
+       FROM ap LEFT JOIN sh USING (source_a, source_b)""",
+)
+def source_overlap(spark, sf_dir):
+    """Cross-source shingle-overlap matrix — pairwise Jaccard of each
+    source's distinct 3-shingle vocabulary, the standard corpus-mixture
+    leakage/contamination diagnostic (which sources share boilerplate or
+    mirrored content before they are mixed).
+
+    Scale shape: the oracle's corpus-sized self-join on the shingle is
+    NEVER executed — one corpus-wide shuffle keyed by shingle builds
+    collect_set(source) per gram (map-side partial merge; the set is
+    bounded by the source-tag cardinality, ~20 here), and everything after
+    runs on that summary frame: per-source distinct counts by re-exploding
+    it, shared counts by pair-exploding only grams seen in >= 2 sources
+    (<= C(s,2) rows per gram). The full pair matrix is a non-equi join of
+    two source-cardinality frames (broadcast nested loop over ~20 rows).
+    For a HIGH-cardinality grouping (per-domain, millions of keys) the
+    collect_set bound breaks on universal grams — there, switch to the
+    (source, g)-distinct + self-join-on-g form with a hot-gram cap, the
+    same posting-list discipline as ngram_jaccard_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "source", F.explode(shingles(tokenize("text"), 3)).alias("g")
+    )
+    perg = grams.groupBy("g").agg(F.collect_set("source").alias("ss"))
+    n = (
+        perg.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    shared = (
+        perg.filter(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("source_a"), "ss")
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    ap = na.join(nb, na["source_a"] < nb["source_b"])
+    sh = F.coalesce("shared", F.lit(0).cast("long"))
+    return ap.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        sh.alias("shared"),
+        F.round(sh / (F.col("n_a") + F.col("n_b") - sh), 6).alias("jaccard"),
+    )
 
 
 def queries() -> dict[str, QueryFn]:
