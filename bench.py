@@ -79,6 +79,8 @@ SF1_QUERIES = [
     # round 5, third batch: suffix-array-semantics dedup — the gram explode
     # plus two gram-keyed shuffles are all data-bound
     "exact_substring_dup",
+    "source_overlap",
+    "winnowing_pairs",
 ]
 
 

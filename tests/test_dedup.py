@@ -404,3 +404,41 @@ def test_exact_substring_coverage_planted(spark, tmp_path):
     mgr = StageManager(spark, str(tmp_path / "exsub_stages"), {"op": "es"})
     assert rows(mgr) == want
     assert mgr.store.exists(spark, "exact_substring_grams")
+
+
+def test_winnowing_guarantee_and_caps(spark):
+    from wiki_entity_linker_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # k=4, w=4: any shared run of k+w-1=7 tokens MUST share a print
+            (1, "q1 q2 q3 s1 s2 s3 s4 s5 s6 s7 r1 r2"),
+            (2, "u1 u2 s1 s2 s3 s4 s5 s6 s7 v1"),
+            (3, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"),
+            (4, "t1 t2 t3"),          # shorter than k: no fingerprints
+            (5, "z z z z z z"),       # all grams equal: 1 distinct print
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, k=4, w=4)
+    per = {r["doc_id"]: r["n"] for r in
+           fp.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert 4 not in per and per[5] == 1 and per[3] >= 1
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnowing_candidate_pairs(df, k=4, w=4, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+
+    # MOSS too-common suppression: a print shared by 3 docs dies at cap 2
+    trip = spark.createDataFrame(
+        [(i, "c1 c2 c3 c4 c5 c6 c7 c8") for i in range(3)],
+        "doc_id long, text string",
+    )
+    assert winnowing_candidate_pairs(trip, k=4, w=4, min_shared=1,
+                                     max_postings=2).count() == 0
+    assert winnowing_candidate_pairs(trip, k=4, w=4, min_shared=1,
+                                     max_postings=3).count() == 3

@@ -671,3 +671,84 @@ def exact_substring_coverage(
             ).alias("covered_frac"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ distinct ``(id, fp)`` winnowing fingerprints per document
+    (Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): hash every
+    k-gram, slide a window of w consecutive gram hashes, select each
+    window's MINIMUM hash breaking ties by the RIGHTMOST position (robust
+    winnowing), and keep the distinct selected hashes. Guarantees any
+    shared run of >= k + w - 1 tokens yields a shared fingerprint, at an
+    expected density of 2/(w+1) — the standard local document fingerprint
+    for code-clone / plagiarism candidate generation (apt for this graft's
+    source-code ER tier, where MinHash answers "mostly the same file" and
+    winnowing answers "shares a long verbatim passage").
+
+    Scale shape: selection is ENTIRELY row-local JVM array math — one
+    md5 per gram via ``transform``, window minima via ``transform`` over
+    ``slice`` (O(m·w) per doc, w tiny), ``array_distinct``, one explode.
+    No shuffle until the consumer aggregates. Documents shorter than k
+    tokens carry no fingerprints; 0 < m < w degenerates to one whole-list
+    window (at least one fingerprint per tokenizable doc).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    base = docs.select(F.col(id_col), tokenize(text_col).alias("t")).filter(
+        F.size("t") >= k
+    )
+    # project the hash array into its own column FIRST: interpreted HOF
+    # lambdas re-evaluate captured row EXPRESSIONS per element (the
+    # ngrams() pitfall) — a plain column reference is evaluated once
+    hashed = base.select(
+        id_col, F.transform(ngrams("t", k), lambda g: h64(g)).alias("hs")
+    )
+    m = F.size("hs")
+    nwin = F.greatest(m - F.lit(w - 1), F.lit(1))
+    window_min = lambda i: F.array_min(F.slice("hs", i, w))  # noqa: E731
+    fps = F.array_distinct(F.transform(F.sequence(F.lit(1), nwin), window_min))
+    return hashed.select(id_col, F.explode(fps).alias("fp"))
+
+
+def winnowing_candidate_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ ``(id_a, id_b, n_shared)`` document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — MOSS-style verbatim-passage
+    candidate pairs (id_a < id_b).
+
+    Scale shape: one shuffle keyed by fingerprint builds posting lists
+    (map-side combinable collect_list; each doc contributes a fingerprint
+    at most once, so list length = document frequency), postings longer
+    than ``max_postings`` are DROPPED — MOSS's own too-common-code
+    suppression rule: a fingerprint shared by everyone identifies nothing
+    and would emit O(df²) pairs — then pairs explode from capped lists
+    (bounded blowup) into one map-side-combinable pair count. Nothing is
+    ever corpus × corpus.
+    """
+    fp = winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    postings = (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_postings))
+    )
+    return (
+        postings.select(F.explode("ds").alias("id_a"), "ds")
+        .select("id_a", F.explode("ds").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

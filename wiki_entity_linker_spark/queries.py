@@ -2119,6 +2119,44 @@ def source_overlap(spark, sf_dir):
     )
 
 
+@q(
+    "winnowing_pairs",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       g AS (SELECT doc_id,
+                    CASE WHEN len(t) >= 4
+                         THEN [array_to_string(t[i:i+3], ' ')
+                               for i in range(1, len(t) - 2)]
+                         ELSE [] END AS gl
+             FROM toks),
+       h AS (SELECT doc_id, list_transform(gl, x -> {h64_sql('x')}) AS hs
+             FROM g WHERE len(gl) > 0),
+       fp AS (SELECT DISTINCT doc_id,
+                     unnest(list_distinct(
+                       [ list_min(hs[i:i+3])
+                         for i in range(1, greatest(len(hs) - 3, 1) + 1) ]))
+                       AS h
+              FROM h),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(count(*) AS BIGINT) AS n_shared
+             FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2""",
+)
+def winnowing_pairs(spark, sf_dir):
+    """MOSS-style winnowing fingerprint candidate pairs (Schleimer et al.
+    2003): window-min k-gram hash selection per document (row-local array
+    math, density 2/(w+1)), then pairs sharing >= 2 selected fingerprints.
+    See operators/dedup.winnowing_fingerprints /
+    winnowing_candidate_pairs for the scale shape (one fingerprint-keyed
+    posting shuffle, too-common fingerprints dropped by the MOSS rule —
+    the 256 cap is unreachable at oracle scale, measured max posting 4)."""
+    from wiki_entity_linker_spark.operators.dedup import winnowing_candidate_pairs
+
+    return winnowing_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=4, min_shared=2
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
