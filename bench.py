@@ -81,6 +81,7 @@ SF1_QUERIES = [
     "exact_substring_dup",
     "source_overlap",
     "winnowing_pairs",
+    "dup_graph_pagerank",
 ]
 
 

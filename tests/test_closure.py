@@ -218,3 +218,28 @@ def test_merge_components_shuffle_fallback_matches_broadcast(spark):
     assert outs[0] == {r["id"]: r["component"] for r in full}
     # the whole graph collapsed into one cluster labeled min member id
     assert set(outs[0].values()) == {"hub"}
+
+
+def test_pagerank_fixed_point_path_graph(spark):
+    from wiki_entity_linker_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    # N=3, base=333333333333; contribs it1: 1->2 full, 2->{1,3} half, 3->2
+    # new = (15*base)//100 + (85*s)//100
+    got = {r["node"]: (r["degree"], r["pr_fp"])
+           for r in pagerank_fixed_point(edges, n_iter=1).collect()}
+    assert got == {
+        1: (1, 191_666_666_665),
+        2: (2, 616_666_666_665),
+        3: (1, 191_666_666_665),
+    }
+    # lineage-cut path is value-identical, and mass stays ~conserved
+    a = {r["node"]: r["pr_fp"]
+         for r in pagerank_fixed_point(edges, n_iter=3).collect()}
+    b = {r["node"]: r["pr_fp"]
+         for r in pagerank_fixed_point(edges, n_iter=3,
+                                       checkpoint_every=1).collect()}
+    assert a == b
+    assert 0 <= 10**12 - sum(a.values()) < 3 * 10  # flooring loss only

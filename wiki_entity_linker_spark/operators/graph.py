@@ -1,0 +1,108 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+The reference ranks entities by a static link-frequency prior
+(get_link_frequencies.py); PageRank over the link/duplicate graph is that
+prior's natural iterative extension, and the canonical "loop of shuffle
+joins" workload a DataFrame engine must handle without driver-side
+collection. Connected components / transitive closure live in
+operators/closure.py; this module holds numeric fixpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cut(df: DataFrame, mgr, name: str) -> DataFrame:
+    """Materialize a multiply-consumed frame once (see dedup._cut)."""
+    if mgr is None:
+        return df.localCheckpoint(eager=True)
+    return mgr.stage(name, lambda: df)
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    checkpoint_every: int = 8,
+    mgr=None,
+) -> DataFrame:
+    """PageRank on the UNDIRECTED graph of ``edges`` in fixed-point integer
+    arithmetic — ``(node, degree, pr_fp, pr)`` after ``n_iter`` power
+    iterations with damping ``damp_num/damp_den`` over the nodes that
+    appear in the edge set.
+
+    Why fixed-point: float PageRank sums neighbor contributions in
+    partition order, so two runs (or two engines) disagree in the last
+    ulps and no bit-exact oracle exists. Here scores are int64 multiples
+    of ``1/scale``: contributions are integral divisions ``pr div deg``,
+    the update is ``((den-num)·(scale div N)) div den + (num·Σ) div den``
+    — order-independent integer sums, bit-identical on any partitioning,
+    any engine. Mass lost to flooring is deterministic and bounded by one
+    unit per node per term. Total mass ≤ scale=1e12 keeps every
+    intermediate < 2^50 — no overflow headroom issues.
+
+    Scale shape: the classic Pregel-lite DataFrame loop — per iteration
+    one shuffle join (messages = edges ⋈ scores on src) and one
+    map-side-combinable groupBy(dst) sum; edge and degree frames are
+    materialized ONCE up front (localCheckpoint locally, durable stage
+    tables with ``mgr``) so iterations re-scan nothing upstream, and the
+    score lineage is cut every ``checkpoint_every`` iterations to stop
+    plan growth (the closure.py discipline). Undirected expansion means
+    every node has out-degree ≥ 1 — no dangling-mass special case. Hot
+    nodes (celebrity entities) are single groupBy keys: partial
+    aggregation bounds them; AQE skew-join handles the join side.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    und = _cut(
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        ),
+        mgr,
+        "pagerank_edges",
+    )
+    deg = _cut(
+        und.groupBy("src").agg(F.count("*").cast("long").alias("deg")),
+        mgr,
+        "pagerank_degrees",
+    )
+    n_nodes = deg.select(F.count("*").alias("n"))  # 1 row, broadcast below
+    base = F.expr(f"{scale} div n")
+    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "src", "deg", "n", base.alias("pr")
+    )
+    for i in range(n_iter):
+        msgs = (
+            und.join(pr.select("src", F.expr("pr div deg").alias("c")), "src")
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        pr = (
+            pr.drop("pr")
+            .join(msgs, pr["src"] == msgs["dst"], "left")
+            .select(
+                "src",
+                "deg",
+                "n",
+                (
+                    F.expr(f"({damp_den - damp_num} * ({scale} div n)) div {damp_den}")
+                    + F.expr(
+                        f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) div {damp_den}"
+                    )
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            pr = _cut(pr, mgr, f"pagerank_iter_{i + 1}")
+    return pr.select(
+        F.col("src").alias("node"),
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_fp"),
+        F.round(F.col("pr") / F.lit(float(scale)), 6).alias("pr"),
+    )

@@ -2157,6 +2157,72 @@ def winnowing_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "dup_graph_pagerank",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       g AS (SELECT doc_id,
+                    CASE WHEN len(t) >= 4
+                         THEN [array_to_string(t[i:i+3], ' ')
+                               for i in range(1, len(t) - 2)]
+                         ELSE [] END AS gl
+             FROM toks),
+       h AS (SELECT doc_id, list_transform(gl, x -> {h64_sql('x')}) AS hs
+             FROM g WHERE len(gl) > 0),
+       fp AS (SELECT DISTINCT doc_id,
+                     unnest(list_distinct(
+                       [ list_min(hs[i:i+3])
+                         for i in range(1, greatest(len(hs) - 3, 1) + 1) ]))
+                       AS h
+              FROM h),
+       pr_e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+       und AS (SELECT id_a AS src, id_b AS dst FROM pr_e
+               UNION ALL SELECT id_b, id_a FROM pr_e),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       p0 AS (SELECT src, deg, n, CAST(1000000000000 // n AS BIGINT) AS pr
+              FROM deg CROSS JOIN nn),
+       m1 AS (SELECT dst, CAST(sum(pr // deg) AS BIGINT) AS s
+                FROM und JOIN p0 USING (src) GROUP BY 1),
+       p1 AS (SELECT d.src, d.deg, d.n,
+                     CAST((15 * (1000000000000 // d.n)) // 100
+                          + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr
+                FROM p0 d LEFT JOIN m1 ON d.src = m1.dst),
+       m2 AS (SELECT dst, CAST(sum(pr // deg) AS BIGINT) AS s
+                FROM und JOIN p1 USING (src) GROUP BY 1),
+       p2 AS (SELECT d.src, d.deg, d.n,
+                     CAST((15 * (1000000000000 // d.n)) // 100
+                          + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr
+                FROM p1 d LEFT JOIN m2 ON d.src = m2.dst),
+       m3 AS (SELECT dst, CAST(sum(pr // deg) AS BIGINT) AS s
+                FROM und JOIN p2 USING (src) GROUP BY 1),
+       p3 AS (SELECT d.src, d.deg, d.n,
+                     CAST((15 * (1000000000000 // d.n)) // 100
+                          + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr
+                FROM p2 d LEFT JOIN m3 ON d.src = m3.dst)
+       SELECT src AS node, deg AS degree, pr AS pr_fp,
+              round(pr / 1000000000000.0, 6) AS pr FROM p3""",
+)
+def dup_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the winnowing duplicate graph, 3 power
+    iterations in fixed-point int64 arithmetic (bit-exact across engines
+    and partitionings — float PageRank cannot be oracle-checked). Picks
+    canonical representatives of near-dup families by centrality instead
+    of min-id, and extends the reference\'s static link-frequency prior
+    (get_link_frequencies.py) to an iterative one. See
+    operators/graph.pagerank_fixed_point for the Pregel-lite loop shape
+    (edges/degrees materialized once, one shuffle join + one combinable
+    sum per iteration, lineage cut every 8 iterations)."""
+    from wiki_entity_linker_spark.operators.dedup import winnowing_candidate_pairs
+    from wiki_entity_linker_spark.operators.graph import pagerank_fixed_point
+
+    edges = winnowing_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=4, min_shared=2
+    ).select("id_a", "id_b")
+    return pagerank_fixed_point(edges, n_iter=3)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
