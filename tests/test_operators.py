@@ -169,3 +169,15 @@ def test_packed_sequences_bin_is_exact_above_float_precision(spark):
     assert rows[1]["bin"] == big // 2048
     assert rows[1]["bin_offset"] == big % 2048
     assert rows[1]["bin"] * 2048 + rows[1]["bin_offset"] == rows[1]["seq_start"]
+
+
+def test_skew_report_planted_hot_key(spark):
+    from wiki_entity_linker_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 100 + [(f"k{i}",) for i in range(99)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_per_key"]) == (199, 100, 100)
+    assert (r["p50_per_key"], r["p99_per_key"]) == (1, 1)
+    assert r["skew_ratio"] == 100.0 and r["top_key"] == "hot"
+    assert r["recommended_salt"] == 100

@@ -119,3 +119,70 @@ def spread_small_input(
     if df.rdd.getNumPartitions() < max(2, int(n * min_factor)):
         return df.repartition(n * target_factor)
     return df
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key — the
+    measurement that decides between plain shuffle, AQE skew-join, and
+    :func:`salt_large_blocks`: ``(n_rows, n_keys, max_per_key, p50_per_key,
+    p99_per_key, skew_ratio, top_key, recommended_salt)``.
+
+    ``recommended_salt`` = ceil(max_per_key / p99_per_key) in exact integer
+    arithmetic — the split factor that brings the hottest key's partition
+    share down to a typical heavy key's (p99) size; 1 means no salting
+    needed. ``skew_ratio`` = max/p50. ``top_key`` is the hottest key
+    (min key string on ties — deterministic).
+
+    Scale shape: one map-side-combinable groupBy(key) over the data, then
+    a second combinable groupBy collapsing per-key counts to a
+    (count → n_keys) HISTOGRAM; quantiles, max, and totals are windows/
+    aggregates over that summary frame only (distinct-count-sized, tiny),
+    so the single-partition window never sees corpus-sized data — the same
+    discipline as the length_quantiles histogram-quantile plan.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hist = counts.groupBy("c").agg(F.count("*").cast("long").alias("nk"))
+    w_all = Window.partitionBy()
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("nk").over(
+                Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n_keys", F.sum("nk").over(w_all))
+        .withColumn("n_rows", F.sum(F.col("c") * F.col("nk")).over(w_all))
+    )
+
+    def _p(q: float):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n_keys")), F.col("c"))
+        ).cast("long")
+
+    stats = cum.agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_per_key"),
+        _p(0.5).alias("p50_per_key"),
+        _p(0.99).alias("p99_per_key"),
+    )
+    top = (
+        counts.join(counts.agg(F.max("c").alias("mx")), F.col("c") == F.col("mx"))
+        .agg(F.min("k").alias("top_key"))
+    )
+    return stats.crossJoin(top).select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        F.round(F.col("max_per_key") / F.col("p50_per_key"), 6).alias("skew_ratio"),
+        "top_key",
+        F.expr("(max_per_key + p99_per_key - 1) div p99_per_key").alias(
+            "recommended_salt"
+        ),
+    )

@@ -2223,6 +2223,46 @@ def dup_graph_pagerank(spark, sf_dir):
     return pagerank_fixed_point(edges, n_iter=3)
 
 
+@q(
+    "skew_report",
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1),
+       h AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM c GROUP BY 1),
+       cum AS (SELECT c, nk,
+                      sum(nk) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(nk) OVER () AS n_keys,
+                      sum(c * nk) OVER () AS n_rows
+               FROM h),
+       s AS (SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
+                    CAST(max(n_keys) AS BIGINT) AS n_keys,
+                    CAST(max(c) AS BIGINT) AS max_per_key,
+                    CAST(min(CASE WHEN cum >= ceil(0.5 * n_keys) THEN c END)
+                         AS BIGINT) AS p50_per_key,
+                    CAST(min(CASE WHEN cum >= ceil(0.99 * n_keys) THEN c END)
+                         AS BIGINT) AS p99_per_key
+             FROM cum),
+       t AS (SELECT min(k) AS top_key FROM c
+             WHERE c = (SELECT max(c) FROM c))
+       SELECT n_rows, n_keys, max_per_key, p50_per_key, p99_per_key,
+              round(max_per_key::DOUBLE / p50_per_key, 6) AS skew_ratio,
+              top_key,
+              (max_per_key + p99_per_key - 1) // p99_per_key
+                AS recommended_salt
+       FROM s CROSS JOIN t""",
+)
+def skew_report(spark, sf_dir):
+    """One-row join-key skew diagnostic over events.user_id — exact
+    histogram quantiles of rows-per-key, hottest key, and the integer
+    salt factor that brings it down to a p99-typical key. See
+    operators/skew.skew_report: two map-side-combinable aggregations
+    collapse the corpus to a count-histogram; every window runs on that
+    tiny summary frame."""
+    from wiki_entity_linker_spark.operators.skew import skew_report as _sr
+
+    return _sr(_t(spark, sf_dir, "events"), "user_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
