@@ -82,6 +82,7 @@ SF1_QUERIES = [
     "source_overlap",
     "winnowing_pairs",
     "dup_graph_pagerank",
+    "allpairs_jaccard",
 ]
 
 

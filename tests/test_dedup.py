@@ -442,3 +442,29 @@ def test_winnowing_guarantee_and_caps(spark):
                                      max_postings=2).count() == 0
     assert winnowing_candidate_pairs(trip, k=4, w=4, min_shared=1,
                                      max_postings=3).count() == 3
+
+
+def test_allpairs_jaccard_exact_boundary(spark):
+    from wiki_entity_linker_spark.operators.dedup import allpairs_jaccard_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b"),
+            (4, "x y z w"),
+            (5, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+           for r in allpairs_jaccard_join(df, threshold="0.5",
+                                          k_shingle=1).collect()}
+    # J=0.5 pairs sit EXACTLY on the threshold: the integer-rational
+    # acceptance (inter*den >= num*union) must include them
+    assert got == {
+        (1, 2): (3, 5, 0.6),
+        (1, 3): (2, 4, 0.5),
+        (2, 3): (2, 4, 0.5),
+        (3, 5): (1, 2, 0.5),
+    }

@@ -233,3 +233,35 @@ def test_length_quantiles_plan_shape(spark, sf001):
     assert "SinglePartition" not in plan
     assert "Join" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_round5_dedup_graph_ops_plan_shapes(spark, sf001):
+    """This session's operators keep their documented scale shapes:
+    winnowing fingerprint SELECTION is shuffle-free row-local array math;
+    exact_substring_dup's duplicate-gram aggregate and skew_report's
+    key-count aggregate are map-side partial; nothing goes corpus ×
+    corpus (the only nested-loop joins allowed are 1-row / source-
+    cardinality broadcasts in pagerank and source_overlap)."""
+    from wiki_entity_linker_spark.operators.dedup import winnowing_fingerprints
+    from wiki_entity_linker_spark.queries import (
+        allpairs_jaccard,
+        dup_graph_pagerank,
+        exact_substring_dup,
+        skew_report,
+        source_overlap,
+        winnowing_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    assert "Exchange" not in _plan(winnowing_fingerprints(docs))
+
+    plan = _plan(exact_substring_dup(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+    assert "partial_count" in _plan(skew_report(spark, sf001))
+
+    for q in (winnowing_pairs, dup_graph_pagerank, source_overlap,
+              allpairs_jaccard):
+        p = _plan(q(spark, sf001))
+        assert "CartesianProduct" not in p, q.__name__

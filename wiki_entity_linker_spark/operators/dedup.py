@@ -752,3 +752,118 @@ def winnowing_candidate_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def allpairs_jaccard_join(
+    docs: DataFrame,
+    threshold: str = "0.3",
+    k_shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mgr=None,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering (Bayardo,
+    Ma & Srikant 2007; Chaudhuri et al. 2006) — every pair of documents
+    whose distinct k-shingle sets have Jaccard >= ``threshold``, with NO
+    approximation: → ``(id_a, id_b, inter, union_sz, jaccard)``. The
+    completeness lemma: under any single global token order, two sets with
+    J >= t must share a token within their first ``sz - ceil(t·sz) + 1``
+    tokens — so joining on prefix tokens only, then verifying exactly,
+    returns exactly the brute-force result (the oracle IS the brute-force
+    self-join; equality proves completeness on real data). The exact
+    complement to minhash_neardup_pairs: LSH trades recall for speed,
+    this trades a bounded candidate blowup for exactness.
+
+    ``threshold`` is a STRING decimal ("0.3") parsed to an exact rational
+    num/den: prefix lengths and the final acceptance test
+    ``inter·den >= num·union`` are pure integer arithmetic — no float
+    boundary cases, bit-identical on any engine.
+
+    Scale shape: the global order is ASCENDING document frequency
+    (tie-break: shingle value), which is also the anti-skew device — the
+    candidate self-join keys are each document's RAREST shingles, so the
+    hottest corpus shingles never appear as join keys (they live only in
+    the verified suffix); the prefix explode carries ~(1-t) of each set.
+    Length pruning (den·min_sz >= num·max_sz) is applied inside the
+    candidate join. Shuffle inventory: df-count (combinable), df join to
+    the exploded stream (keyed by shingle), per-doc prefix window (keyed
+    by id), candidate self-join (keyed by rare shingles), verify joins
+    (keyed by id). Shingle sets are materialized once (_cut) and consumed
+    by all stages.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold)
+    num, den = frac.numerator, frac.denominator
+    if not 0 < frac <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = docs.select(F.col(id_col), tokenize(text_col).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    sets = _cut(
+        toks.select(
+            id_col,
+            shingles("tk", k_shingle).alias("s"),
+            F.size(shingles("tk", k_shingle)).cast("long").alias("sz"),
+        ),
+        mgr,
+        "allpairs_sets",
+    )
+    ex = sets.select(id_col, "sz", F.explode("s").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    # prefix length p = sz - ceil(t*sz) + 1, ceil in exact integers
+    p = F.col("sz") - F.expr(f"({num} * sz + {den} - 1) div {den}") + F.lit(1)
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("sh").asc())
+    )
+    prefix = (
+        ex.join(dfreq, "sh")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= p)
+        .select(id_col, "sz", "sh")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "sh"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "sh"
+    )
+    cands = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(den) * F.least("sz_a", "sz_b")
+                >= F.lit(num) * F.greatest("sz_a", "sz_b")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("long")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (F.size("s_a") + F.size("s_b")).cast("long").alias("_sum"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("_sum") - F.col("inter")).alias("union_sz"),
+        )
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("union_sz"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_sz",
+            F.round(F.col("inter") / F.col("union_sz"), 6).alias("jaccard"),
+        )
+    )

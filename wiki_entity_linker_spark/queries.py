@@ -2263,6 +2263,36 @@ def skew_report(spark, sf_dir):
     return _sr(_t(spark, sf_dir, "events"), "user_id")
 
 
+@q(
+    "allpairs_jaccard",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS tk FROM documents),
+       s AS (SELECT doc_id, {_shingles_sql('tk', 3)} AS s FROM toks
+             WHERE len(tk) > 0),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                    CAST(len(a.s) + len(b.s)
+                         - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_sz
+             FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b, inter, union_sz,
+              round(inter::DOUBLE / union_sz, 6) AS jaccard
+       FROM p WHERE inter * 2 >= union_sz""",
+)
+def allpairs_jaccard(spark, sf_dir):
+    """Exact all-pairs Jaccard join at t=0.5 over distinct 3-shingle sets.
+    The oracle is the BRUTE-FORCE self-join; the Spark side runs the
+    prefix-filtered AllPairs algorithm (Bayardo et al. 2007) — equality is
+    a completeness proof of the prefix filter on real data, not just a
+    value check. See operators/dedup.allpairs_jaccard_join: rarest-first
+    prefix order doubles as anti-skew (hot shingles never become join
+    keys), integer-rational threshold arithmetic, length pruning inside
+    the candidate join."""
+    from wiki_entity_linker_spark.operators.dedup import allpairs_jaccard_join
+
+    return allpairs_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold="0.5", k_shingle=3
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
