@@ -83,6 +83,7 @@ SF1_QUERIES = [
     "winnowing_pairs",
     "dup_graph_pagerank",
     "allpairs_jaccard",
+    "collocation_lift",
 ]
 
 

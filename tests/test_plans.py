@@ -265,3 +265,13 @@ def test_round5_dedup_graph_ops_plan_shapes(spark, sf001):
               allpairs_jaccard):
         p = _plan(q(spark, sf001))
         assert "CartesianProduct" not in p, q.__name__
+
+
+def test_collocation_lift_topk_plan(spark, sf001):
+    """The global top-50 compiles to TakeOrderedAndProject (per-partition
+    heaps), never a full global sort of the bigram table."""
+    from wiki_entity_linker_spark.queries import collocation_lift
+
+    plan = _plan(collocation_lift(spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

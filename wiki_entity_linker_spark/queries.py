@@ -2293,6 +2293,82 @@ def allpairs_jaccard(spark, sf_dir):
     )
 
 
+@q(
+    "collocation_lift",
+    f"""WITH toks AS (SELECT {_toks_sql('text')} AS tk FROM documents),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       big AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+               FROM (SELECT unnest({_ngrams_sql('tk', 2)}) AS bg FROM toks
+                     WHERE len(tk) >= 2)
+               GROUP BY 1 HAVING count(*) >= 5),
+       j AS (SELECT split_part(bg, ' ', 1) AS w1,
+                    split_part(bg, ' ', 2) AS w2, c_ab
+             FROM big),
+       s AS (SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+                    round((CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+                          / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)), 6)
+                      AS lift
+             FROM j JOIN uni a ON j.w1 = a.w JOIN uni b ON j.w2 = b.w
+             CROSS JOIN nn)
+       SELECT * FROM s ORDER BY lift DESC, w1, w2 LIMIT 50""",
+)
+def collocation_lift(spark, sf_dir):
+    """Top-50 corpus collocations by pointwise lift
+    c(ab)·N / (c(a)·c(b)) with minimum support 5 — the association-
+    strength extension of the reference's plain unigram counter
+    (count_unigrams.py), standard for tokenizer/phrase-vocabulary design.
+
+    Scale shape: two map-side-combinable aggregations (unigrams with
+    multiplicity, adjacent bigrams with multiplicity); the lift joins run
+    AFTER aggregation so their stream is distinct bigrams, not
+    occurrences — a Zipf-hot token is one row per distinct neighbor, and
+    min-support prunes the long tail before the join; N is a 1-row
+    broadcast. The global top-50 is ordered on the ROUNDED lift with a
+    (w1, w2) tie-break — deterministic across engines — and compiles to
+    TakeOrderedAndProject (per-partition heaps, never a full sort). The
+    lift doubles are products/quotients of identical exact ints on both
+    engines, so rounding agrees bit-for-bit."""
+    from wiki_entity_linker_spark.functions.text import ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(tokenize("text").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nn = uni.agg(F.sum("c").cast("long").alias("n"))
+    big = (
+        toks.filter(F.size("tk") >= 2)
+        .select(F.explode(ngrams("tk", 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    parts = F.split("bg", " ")
+    j = big.select(
+        F.element_at(parts, 1).alias("w1"),
+        F.element_at(parts, 2).alias("w2"),
+        "c_ab",
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    lift = F.round(
+        (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        6,
+    )
+    s = (
+        j.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift"))
+    )
+    return s.orderBy(F.col("lift").desc(), "w1", "w2").limit(50)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
