@@ -2369,6 +2369,55 @@ def collocation_lift(spark, sf_dir):
     return s.orderBy(F.col("lift").desc(), "w1", "w2").limit(50)
 
 
+@q(
+    "vocab_coverage",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS tk FROM documents),
+       ex AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+       vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 30),
+       per AS (SELECT ex.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(count(*) - count(vocab.w) AS BIGINT) AS oov_tokens
+               FROM ex LEFT JOIN vocab ON ex.w = vocab.w GROUP BY 1)
+       SELECT doc_id, n_tokens, oov_tokens,
+              round(oov_tokens::DOUBLE / n_tokens, 6) AS oov_frac
+       FROM per""",
+)
+def vocab_coverage(spark, sf_dir):
+    """Frequency-based vocabulary induction + per-document OOV rate: the
+    top-30 corpus tokens (count desc, token asc — deterministic at the
+    rank boundary) become the vocabulary, and every document reports how
+    much of it falls outside — the coverage check run before freezing a
+    tokenizer vocab.
+
+    Scale shape: the vocabulary is top-k by CONSTRUCTION, so the join
+    back is always a broadcast of a computed, bounded frame (the pattern:
+    aggregate → TakeOrderedAndProject → broadcast back into a row stream
+    — no driver collect); the unigram aggregate and the per-doc rollup
+    are both map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    uni = ex.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    vocab = (
+        uni.orderBy(F.col("c").desc(), "w").limit(30)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        ex.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.count("*") - F.count("in_vocab")).cast("long").alias("oov_tokens"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_frac"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
