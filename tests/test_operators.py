@@ -181,3 +181,27 @@ def test_skew_report_planted_hot_key(spark):
     assert (r["p50_per_key"], r["p99_per_key"]) == (1, 1)
     assert r["skew_ratio"] == 100.0 and r["top_key"] == "hot"
     assert r["recommended_salt"] == 100
+
+
+def test_sorted_neighborhood_spans_bucket_boundaries(spark):
+    from wiki_entity_linker_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    # one row per first-char bucket: EVERY neighbor pair crosses a bucket
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "banana"), (3, "cherry"), (4, "date")],
+        "doc_id long, k string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in sorted_neighborhood_pairs(df, "k", "doc_id",
+                                              window=3).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (3, 4): 1, (1, 3): 2, (2, 4): 2}
+    # ties on the key break by id: strict total order
+    tie = spark.createDataFrame(
+        [(9, "same"), (7, "same"), (8, "same")], "doc_id long, k string"
+    )
+    got2 = {(r["id_a"], r["id_b"]): r["dist"]
+            for r in sorted_neighborhood_pairs(tie, "k", "doc_id",
+                                               window=2).collect()}
+    assert got2 == {(7, 8): 1, (8, 9): 1}

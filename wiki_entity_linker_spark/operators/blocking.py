@@ -10,7 +10,7 @@ only shuffles are the per-file signature groupBy and the block self-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wiki_entity_linker_spark.functions.hashing import h64, mh_family, mh_mix, stable_file_id
@@ -218,4 +218,69 @@ def pairs_from_blocks(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 4,
+    bucket_chars: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort the
+    corpus by ``key_col`` (ties broken by ``id_col`` — a strict total
+    order) and emit every pair within ``window`` consecutive rows:
+    → ``(id_a, id_b, dist)`` with ``id_a`` earlier in sort order and
+    ``dist`` in 1..window-1. The classic complement to equality blocking:
+    near-miss keys (typos, prefix drift) land adjacent after sorting even
+    though they never collide on an exact block key.
+
+    Scale shape: the global sort position is computed WITHOUT a
+    single-partition corpus window, by the packing-operator discipline
+    (operators/packing.global_prefix_sum, recast for string keys): rows
+    bucket by the first ``bucket_chars`` characters of the key — ranges
+    CONTIGUOUS in lexicographic order, so bucket order = key order —
+    bucket counts aggregate map-side into a bucket-cardinality summary
+    frame whose offset window is the only single-partition step; each
+    row's position is bucket offset + within-bucket row_number. Neighbor
+    pairs are then one equi-join on position (uniform key, explode factor
+    window-1). Bucket boundaries CANNOT drop pairs: positions are global,
+    so a window spanning two (or ten) buckets joins exactly the same as
+    one inside a bucket.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    keyed = df.select(
+        F.col(id_col), F.col(key_col).alias("__k")
+    ).withColumn("__bkt", F.substring("__k", 1, bucket_chars))
+    counts = keyed.groupBy("__bkt").agg(F.count("*").cast("long").alias("__n"))
+    # offset window runs over the bucket-cardinality frame only (tiny)
+    off = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("__bkt", "__off")
+    rn = F.row_number().over(
+        Window.partitionBy("__bkt").orderBy("__k", id_col)
+    )
+    pos = (
+        keyed.join(F.broadcast(off), "__bkt")
+        .withColumn("__pos", F.col("__off") + rn - 1)
+        .select(id_col, "__pos")
+    )
+    a = pos.select(
+        F.col(id_col).alias("id_a"),
+        "__pos",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("dist"),
+    ).withColumn("__pos_b", F.col("__pos") + F.col("dist"))
+    b = pos.select(F.col(id_col).alias("id_b"), F.col("__pos").alias("__pos_b"))
+    return a.join(b, "__pos_b").select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
     )

@@ -2418,6 +2418,39 @@ def vocab_coverage(spark, sf_dir):
     )
 
 
+@q(
+    "sorted_neighborhood",
+    """WITH d AS (SELECT doc_id,
+                        substr(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                         'g'))), 1, 12) AS k
+                 FROM documents),
+       o AS (SELECT doc_id, k,
+                    row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+             FROM d),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(b.pos - a.pos AS BIGINT) AS dist
+             FROM o a JOIN o b
+               ON b.pos BETWEEN a.pos + 1 AND a.pos + 3)
+       SELECT id_a, id_b, dist FROM p""",
+)
+def sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) over the
+    first 12 normalized characters, window 4 — every pair within 3
+    consecutive rows of the sorted corpus. The oracle states the naive
+    single global row_number; the Spark side computes positions via
+    order-contiguous prefix buckets + a bucket-cardinality offset window
+    (operators/blocking.sorted_neighborhood_pairs), which this oracle
+    pins bit-equal — including pairs spanning bucket boundaries."""
+    from wiki_entity_linker_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(normalize_content("text"), 1, 12).alias("k")
+    )
+    return sorted_neighborhood_pairs(d, "k", "doc_id", window=4)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
