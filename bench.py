@@ -84,6 +84,8 @@ SF1_QUERIES = [
     "dup_graph_pagerank",
     "allpairs_jaccard",
     "collocation_lift",
+    "vocab_coverage",
+    "sorted_neighborhood",
 ]
 
 

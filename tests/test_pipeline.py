@@ -172,3 +172,28 @@ def test_pathological_exact_dup_group_no_giant_rows(spark, tmp_path):
         .count()
     )
     assert n_comp_dup == 1
+
+
+def test_snm_blocking_union(spark, tiny_corpus_dir, tmp_path):
+    """cfg.snm_window unions sorted-neighborhood stem pairs into the
+    candidate set: candidates grow (near-miss stems that never collide on
+    an exact key), scoring still rejects non-matches (F1 stays 1.0), and
+    the incremental path refuses the flag instead of silently diverging."""
+    from wiki_entity_linker_spark.plans.er_incremental import run_er_incremental
+
+    sf = spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet")
+    lp = spark.read.parquet(f"{tiny_corpus_dir}/labeled_pairs.parquet")
+    base = run_er_pipeline(spark, sf, lp, str(tmp_path / "plain"))
+    snm = run_er_pipeline(
+        spark, sf, lp, str(tmp_path / "snm"), cfg=ERConfig(snm_window=4)
+    )
+    n_base, n_snm = base["pairs"].count(), snm["pairs"].count()
+    assert n_snm > n_base, (n_base, n_snm)
+    m = {r["slice"]: r.asDict() for r in snm["metrics"].collect()}
+    assert m["all"]["f1"] >= 0.99, m
+
+    with pytest.raises(ValueError, match="snm_window"):
+        run_er_incremental(
+            spark, str(tmp_path / "snm"), sf.limit(1),
+            str(tmp_path / "append"), cfg=ERConfig(snm_window=4),
+        )

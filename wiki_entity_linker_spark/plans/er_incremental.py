@@ -238,6 +238,14 @@ def run_er_incremental(
     self-contained workdirs and short-lived chains.
     """
     cfg = cfg or ERConfig()
+    if cfg.snm_window:
+        raise ValueError(
+            "run_er_incremental: cfg.snm_window is full-recompute-only — "
+            "sorted-neighborhood positions shift with every append, so an "
+            "incremental SNM union would silently diverge from the full "
+            "run's candidate set. Re-cluster with run_er_pipeline (or "
+            "compact_chain) when SNM blocking is on."
+        )
     if os.path.abspath(workdir) == os.path.abspath(base_workdir):
         raise ValueError(
             "run_er_incremental: workdir must differ from base_workdir "

@@ -115,6 +115,14 @@ class ERConfig:
     # and broadcast; a pathological batch bridging more base clusters than
     # this falls back to a shuffle join instead of blowing the broadcast
     merge_broadcast_threshold: int = 500_000
+    # sorted-neighborhood blocking over path stems (Hernandez-Stolfo): >= 2
+    # unions every pair within this many consecutive rows of the stem-sorted
+    # corpus into the candidate set — catches near-miss stems that never
+    # collide on an exact block key. 0 (default) = off. FULL-RECOMPUTE-ONLY:
+    # global sort positions shift with every append, so the incremental
+    # path refuses it (run_er_incremental raises) rather than silently
+    # diverging from the full run.
+    snm_window: int = 0
     extra: dict = field(default_factory=dict)
 
 
@@ -358,8 +366,28 @@ def run_er_pipeline(
         ),
     )
 
-    # 4. candidate pairs (canonical order, deduped across block types)
-    pairs = mgr.stage("pairs", lambda: pairs_from_blocks(blocks))
+    # 4. candidate pairs (canonical order, deduped across block types);
+    # optional sorted-neighborhood union (cfg.snm_window) — SNM emits
+    # sort-order pairs, so they are re-canonicalized (least/greatest) and
+    # the union deduped against the block pairs
+    def _pairs() -> DataFrame:
+        p = pairs_from_blocks(blocks)
+        if cfg.snm_window >= 2:
+            from wiki_entity_linker_spark.operators.blocking import (
+                sorted_neighborhood_pairs,
+            )
+
+            snm = sorted_neighborhood_pairs(
+                feats.select("file_id", "stem"), "stem", "file_id",
+                window=cfg.snm_window,
+            ).select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            p = p.unionByName(snm).dropDuplicates(["id_a", "id_b"])
+        return p
+
+    pairs = mgr.stage("pairs", _pairs)
 
     # 5. scoring over the per-doc int features (score_pairs); Arrow UDF only
     # for the cosine (numpy) and name Jaro-Winkler (vectorized kernel).
