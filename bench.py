@@ -86,6 +86,7 @@ SF1_QUERIES = [
     "collocation_lift",
     "vocab_coverage",
     "sorted_neighborhood",
+    "dedup_verdicts",
 ]
 
 

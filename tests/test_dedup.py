@@ -468,3 +468,26 @@ def test_allpairs_jaccard_exact_boundary(spark):
         (2, 3): (2, 4, 0.5),
         (3, 5): (1, 2, 0.5),
     }
+
+
+def test_dedup_verdicts_all_branches(spark, tmp_path):
+    from wiki_entity_linker_spark.queries import dedup_verdicts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),    # 5/6 tokens in a
+                                                          # shared substring
+            (4, "unique tokens nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["verdict"]
+           for r in dedup_verdicts(spark, d).collect()}
+    assert got[2] == "drop_exact_dup"
+    assert got[1] == "drop_boilerplate"   # its text is duplicated BY doc 2
+    assert got[3] == "drop_boilerplate"   # shared 5-gram prefix with 1 and 2
+    assert got[4] == "keep"

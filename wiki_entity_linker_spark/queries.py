@@ -2451,6 +2451,125 @@ def sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood_pairs(d, "k", "doc_id", window=4)
 
 
+@q(
+    "dedup_verdicts",
+    f"""WITH ex AS (SELECT doc_id,
+                          min(doc_id) OVER (PARTITION BY
+                            sha256(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                             'g')))))
+                            AS canonical_id
+                   FROM documents),
+       toksv AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+                FROM toksv),
+       gl AS (SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens >= 5
+                          THEN [array_to_string(t[i:i+4], ' ')
+                                for i in range(1, len(t) - 3)]
+                          ELSE [] END AS gl
+              FROM base),
+       g AS (SELECT doc_id, unnest(gl) AS g,
+                    generate_subscripts(gl, 1) - 1 AS pos
+             FROM gl),
+       dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+       dp AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+       c AS (SELECT doc_id, pos,
+                    least(5, COALESCE(lead(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS contrib
+             FROM dp),
+       cov AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered_tokens
+               FROM c GROUP BY 1),
+       segs AS (SELECT doc_id, n_tokens, i AS seg_idx,
+                       CAST(len(t[CAST(i * 8 + 1 AS BIGINT)
+                                  :CAST(i * 8 + 8 AS BIGINT)]) AS BIGINT)
+                         AS seg_tokens,
+                       array_to_string(t[CAST(i * 8 + 1 AS BIGINT)
+                                         :CAST(i * 8 + 8 AS BIGINT)], ' ')
+                         AS seg
+                FROM base, unnest(range(CAST((n_tokens + 7) // 8 AS BIGINT)))
+                     AS u(i)
+                WHERE n_tokens > 0),
+       win AS (SELECT seg, min(doc_id) AS wdoc FROM segs GROUP BY 1),
+       win2 AS (SELECT s.seg, w.wdoc, min(s.seg_idx) AS widx
+                FROM segs s JOIN win w ON s.seg = w.seg AND s.doc_id = w.wdoc
+                GROUP BY 1, 2),
+       segagg AS (SELECT s.doc_id,
+                         CAST(max(s.n_tokens)
+                              - sum(CASE WHEN s.doc_id = w.wdoc
+                                          AND s.seg_idx = w.widx
+                                         THEN s.seg_tokens ELSE 0 END)
+                              AS BIGINT) AS dup_tokens
+                  FROM segs s JOIN win2 w USING (seg) GROUP BY 1),
+       j AS (SELECT b.doc_id, b.n_tokens, e.canonical_id,
+                    round(COALESCE(cov.covered_tokens, 0)::DOUBLE
+                          / greatest(b.n_tokens, 1), 6) AS substr_dup_frac,
+                    round(COALESCE(sa.dup_tokens, 0)::DOUBLE
+                          / greatest(b.n_tokens, 1), 6) AS seg_dup_frac
+             FROM base b JOIN ex e USING (doc_id)
+             LEFT JOIN cov USING (doc_id) LEFT JOIN segagg sa USING (doc_id))
+       SELECT doc_id, n_tokens, canonical_id, substr_dup_frac, seg_dup_frac,
+              CASE WHEN canonical_id <> doc_id THEN 'drop_exact_dup'
+                   WHEN substr_dup_frac > 0.25 OR seg_dup_frac > 0.25
+                     THEN 'drop_boilerplate'
+                   ELSE 'keep' END AS verdict
+       FROM j""",
+)
+def dedup_verdicts(spark, sf_dir):
+    """The curator's decision table: one verdict per document composed
+    from the three exact-dedup tiers — whole-document sha (first-writer
+    canonical), suffix-array-semantics substring coverage, and CCNet-style
+    segment dedup. Priority: exact duplicate of an earlier doc →
+    'drop_exact_dup'; >25% of tokens in corpus-duplicated substrings or
+    segments → 'drop_boilerplate'; else 'keep'. Each component is itself
+    an oracle-checked operator (sha_exact_dedup / exact_substring_dup /
+    segment_dedup); this query pins their COMPOSITION. Scale shape =
+    union of the components' (each documented at its definition); the
+    final assembly is three doc_id equi-joins."""
+    from wiki_entity_linker_spark.operators.dedup import (
+        exact_dedup,
+        exact_substring_coverage,
+        segment_dedup_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ex = exact_dedup(d, "doc_id", "text").select("doc_id", "canonical_id")
+    sub = exact_substring_coverage(d, k=5).select(
+        "doc_id", "n_tokens", F.col("covered_frac").alias("substr_dup_frac")
+    )
+    seg = segment_dedup_stats(d, seg_len=8).select(
+        "doc_id", F.col("dup_tokens").alias("seg_dup")
+    )
+    j = (
+        sub.join(ex, "doc_id")
+        .join(seg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "canonical_id",
+            "substr_dup_frac",
+            F.round(
+                F.coalesce("seg_dup", F.lit(0).cast("long"))
+                / F.greatest("n_tokens", F.lit(1).cast("long")),
+                6,
+            ).alias("seg_dup_frac"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "canonical_id",
+        "substr_dup_frac",
+        "seg_dup_frac",
+        F.when(F.col("canonical_id") != F.col("doc_id"), "drop_exact_dup")
+        .when(
+            (F.col("substr_dup_frac") > 0.25) | (F.col("seg_dup_frac") > 0.25),
+            "drop_boilerplate",
+        )
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
