@@ -87,6 +87,9 @@ SF1_QUERIES = [
     "vocab_coverage",
     "sorted_neighborhood",
     "dedup_verdicts",
+    # bloom path vs the exact decontamination path: same answer, row-local
+    # membership — the sf1 leg shows the plan-shape difference in seconds
+    "bloom_decontamination",
 ]
 
 

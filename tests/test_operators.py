@@ -205,3 +205,29 @@ def test_sorted_neighborhood_spans_bucket_boundaries(spark):
             for r in sorted_neighborhood_pairs(tie, "k", "doc_id",
                                                window=2).collect()}
     assert got2 == {(7, 8): 1, (8, 9): 1}
+
+
+def test_bloom_bitmap_no_false_negatives(spark):
+    from wiki_entity_linker_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_contains,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "k string"
+    )
+    others = spark.createDataFrame(
+        [(f"outsider-{i}",) for i in range(200)], "k string"
+    )
+    bm = bloom_bitmap(keys, "k")
+    assert bm.count() == 1 and len(bm.first()["bitmap"]) == (1 << 18) // 64
+
+    def hits(df):
+        return (
+            df.crossJoin(F.broadcast(bm))
+            .filter(bloom_contains("k", "bitmap"))
+            .count()
+        )
+
+    assert hits(keys) == 200          # EVERY inserted key: no false negatives
+    assert hits(others) < 20          # 2^18 bits / 200 keys: FP rate ~ 0

@@ -2570,6 +2570,83 @@ def dedup_verdicts(spark, sf_dir):
     )
 
 
+@q(
+    "bloom_decontamination",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       g AS (SELECT doc_id, unnest({_shingles_sql('t', 3)}) AS g FROM toks),
+       bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+       hits AS (SELECT g.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_ngrams,
+                       CAST(count(bench.g) AS BIGINT) AS contaminated_ngrams
+                FROM g LEFT JOIN bench ON g.g = bench.g
+                WHERE g.doc_id % 50 <> 0
+                GROUP BY 1)
+       SELECT doc_id, n_ngrams, contaminated_ngrams,
+              round(contaminated_ngrams::DOUBLE / n_ngrams, 6)
+                AS contamination_frac,
+              contaminated_ngrams > 0 AS is_contaminated
+       FROM hits""",
+)
+def bloom_decontamination(spark, sf_dir):
+    """decontamination_flags semantics through a Bloom-filter prefilter —
+    the oracle is IDENTICAL to the exact query's (bloom → exact verify
+    must be answer-transparent: no false negatives by construction, false
+    positives killed by the verify join; the green row pins that on real
+    data).
+
+    Why it exists: the exact plan broadcast-joins EVERY corpus gram
+    against the benchmark set; this plan tests membership ROW-LOCALLY
+    against a one-row 32 KB bitmap (operators/bloom.py) inside the scan
+    and ships ONLY probable hits to the verify join — at 100 TB the
+    difference between evaluating a join for every gram and joining a
+    sliver. Documents with zero bloom hits never leave their scan task."""
+    from wiki_entity_linker_spark.functions.text import shingles, tokenize
+    from wiki_entity_linker_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_contains,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", shingles(tokenize("text"), 3).alias("sh"))
+    bench = (
+        toks.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("sh").alias("g"))
+        .dropDuplicates(["g"])
+    )
+    bm = bloom_bitmap(bench, "g")
+    probed = (
+        toks.filter(F.col("doc_id") % 50 != 0)
+        .crossJoin(F.broadcast(bm))
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_ngrams"),
+            F.filter(
+                "sh", lambda g: bloom_contains(g, F.col("bitmap"))
+            ).alias("hits"),
+        )
+    )
+    cnt = (
+        probed.filter(F.size("hits") > 0)
+        .select("doc_id", F.explode("hits").alias("g"))
+        .join(bench, "g", "semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        probed.select("doc_id", "n_ngrams")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("c", F.lit(0).cast("long")).alias("contaminated_ngrams"),
+            F.round(
+                F.coalesce("c", F.lit(0).cast("long")) / F.col("n_ngrams"), 6
+            ).alias("contamination_frac"),
+            (F.coalesce("c", F.lit(0).cast("long")) > 0).alias("is_contaminated"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
