@@ -2594,16 +2594,23 @@ def bloom_decontamination(spark, sf_dir):
     positives killed by the verify join; the green row pins that on real
     data).
 
-    Why it exists: the exact plan broadcast-joins EVERY corpus gram
-    against the benchmark set; this plan tests membership ROW-LOCALLY
-    against a one-row 32 KB bitmap (operators/bloom.py) inside the scan
-    and ships ONLY probable hits to the verify join — at 100 TB the
-    difference between evaluating a join for every gram and joining a
-    sliver. Documents with zero bloom hits never leave their scan task."""
+    Why it exists: when the eval-set gram table is too big to broadcast
+    (real decontamination: many benchmarks x train/test splits, tens of
+    GB of grams), the exact plan must SHUFFLE every corpus gram to the
+    join; this plan tests membership against a one-row 32 KB bitmap
+    inside the scan (whole-stage codegen row filter, operators/bloom.py)
+    and ships only probable hits. Measured honestly at sf1 where the
+    bench set DOES fit a broadcast: the exact broadcast join wins (1.6 s
+    vs 5.1 s — bloom pays two extra bench-side evaluations and the probe
+    arithmetic, and the broadcast join is already shuffle-free). The
+    bloom path's advantage begins exactly where the broadcast stops
+    fitting; keeping both registered pins that the answer is identical
+    either way."""
     from wiki_entity_linker_spark.functions.text import shingles, tokenize
     from wiki_entity_linker_spark.operators.bloom import (
+        bloom_base_hash,
         bloom_bitmap,
-        bloom_contains,
+        bloom_contains_hashed,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -2614,27 +2621,26 @@ def bloom_decontamination(spark, sf_dir):
         .dropDuplicates(["g"])
     )
     bm = bloom_bitmap(bench, "g")
-    probed = (
-        toks.filter(F.col("doc_id") % 50 != 0)
-        .crossJoin(F.broadcast(bm))
-        .select(
-            "doc_id",
-            F.size("sh").cast("long").alias("n_ngrams"),
-            F.filter(
-                "sh", lambda g: bloom_contains(g, F.col("bitmap"))
-            ).alias("hits"),
-        )
+    # probe as a ROW filter, not a HOF: explode + scalar bloom test stays
+    # inside whole-stage codegen (interpreted HOF lambdas cost ~3x here,
+    # measured), and the bloom chain has exactly ONE consumer — per-doc
+    # sizes come from a separate bloom-free projection
+    exploded = toks.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("sh").alias("g")
     )
     cnt = (
-        probed.filter(F.size("hits") > 0)
-        .select("doc_id", F.explode("hits").alias("g"))
+        exploded.crossJoin(F.broadcast(bm))
+        .filter(bloom_contains_hashed(bloom_base_hash("g"), "bitmap"))
+        .select("doc_id", "g")
         .join(bench, "g", "semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("c"))
     )
+    base = toks.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.size("sh").cast("long").alias("n_ngrams")
+    )
     return (
-        probed.select("doc_id", "n_ngrams")
-        .join(cnt, "doc_id", "left")
+        base.join(cnt, "doc_id", "left")
         .select(
             "doc_id",
             "n_ngrams",
