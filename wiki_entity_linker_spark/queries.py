@@ -2653,6 +2653,62 @@ def bloom_decontamination(spark, sf_dir):
     )
 
 
+@q(
+    "q3_shipping_priority",
+    """WITH rev AS (SELECT l_orderkey, o_orderdate,
+                          CAST(sum(CAST(round(l_extendedprice
+                                              * (1 - l_discount) * 100)
+                                        AS BIGINT)) AS BIGINT) AS rev_scaled
+                   FROM customer JOIN orders ON c_custkey = o_custkey
+                                 JOIN lineitem ON l_orderkey = o_orderkey
+                   WHERE c_mktsegment = 'BUILDING'
+                     AND o_orderdate < TIMESTAMP '1998-01-01'
+                     AND l_shipdate > TIMESTAMP '1998-01-01'
+                   GROUP BY 1, 2)
+       SELECT l_orderkey, o_orderdate, rev_scaled,
+              round(rev_scaled / 100.0, 2) AS revenue
+       FROM rev
+       ORDER BY rev_scaled DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) over the synthetic tables: top-10
+    open orders of one market segment by revenue. Revenue is int64-scaled
+    PER ROW before the sum (round(price·(1-disc)·100) — identical IEEE
+    ops on identical doubles on both engines, then an order-independent
+    integer sum), so the top-10 boundary can never flip on float
+    summation order — the same discipline as bm25_topk. Both selective
+    filters sit on the scan side of their joins (pushdown), and the
+    top-10 compiles to TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev_row = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev_row).cast("long").alias("rev_scaled"))
+    )
+    return (
+        rev.select(
+            "l_orderkey",
+            "o_orderdate",
+            "rev_scaled",
+            F.round(F.col("rev_scaled") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy(F.col("rev_scaled").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
