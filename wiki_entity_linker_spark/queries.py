@@ -2783,6 +2783,45 @@ def source_minhash_overlap(spark, sf_dir):
     )
 
 
+@q(
+    "q18_large_volume",
+    """WITH big AS (SELECT l_orderkey,
+                          CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                               AS BIGINT) AS total_qty
+                   FROM lineitem GROUP BY 1
+                   HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+       SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+       FROM big JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+       ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, joined out to their customers, top-20. The
+    HAVING aggregate runs BEFORE the joins — the selective reduction
+    (14k orders -> a handful) happens on one map-side-combinable
+    groupBy, and only survivors join orders/customer (both then
+    broadcastable). Quantities are whole-valued doubles; the per-row
+    round->int cast makes the sum exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
