@@ -90,6 +90,7 @@ SF1_QUERIES = [
     # bloom path vs the exact decontamination path: same answer, row-local
     # membership — the sf1 leg shows the plan-shape difference in seconds
     "bloom_decontamination",
+    "label_centroids",
 ]
 
 

@@ -2822,6 +2822,53 @@ def q18_large_volume(spark, sf_dir):
     )
 
 
+@q(
+    "label_centroids",
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                        CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                   * 1000000) AS BIGINT) AS v
+                 FROM embeddings)
+       SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vectors,
+              CAST(sum(v) AS BIGINT) AS sum_scaled,
+              round(sum(v) / (count(*) * 1000000.0), 6) AS centroid
+       FROM e GROUP BY 1, 2""",
+)
+def label_centroids(spark, sf_dir):
+    """Per-cluster centroid of the embedding table in DETERMINISTIC
+    fixed-point arithmetic — the IVF-training / cluster-summary primitive.
+    Float mean-vectors sum in partition order and can never be bit-exact;
+    here each element is scaled to int64 once (explicit double widening +
+    round — identical IEEE ops both engines), summed exactly, and divided
+    back at the end.
+
+    Scale shape: one (label, dim) explode — 64x rows but fixed fan-out —
+    into a map-side-combinable groupBy on uniform keys; emitted as
+    (label, dim) ROWS (#labels x #dims — a summary frame), never
+    collecting vectors per group. The naive collect_list-per-label
+    centroid buffers every member vector in one reducer; this shape
+    never holds more than a partial sum per key."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    v = F.round(F.col("val").cast("double") * 1000000).cast("long")
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(v).cast("long").alias("sum_scaled"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "n_vectors",
+            "sum_scaled",
+            F.round(
+                F.col("sum_scaled") / (F.col("n_vectors") * F.lit(1000000.0)), 6
+            ).alias("centroid"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
