@@ -2869,6 +2869,84 @@ def label_centroids(spark, sf_dir):
     )
 
 
+@q(
+    "count_min_heavy_hitters",
+    f"""WITH tok AS (SELECT unnest({_toks_sql('text')}) AS w FROM documents),
+       hv AS (SELECT w, {h64_sql('w')} AS hv FROM tok),
+       sk AS (SELECT 0 AS d, ((((hv) % 2147483647) * 506952114 + 283532) % 2147483647) % 512 AS cell, CAST(count(*) AS BIGINT) AS cnt FROM hv GROUP BY 2 UNION ALL SELECT 1 AS d, ((((hv) % 2147483647) * 1013904228 + 324035) % 2147483647) % 512 AS cell, CAST(count(*) AS BIGINT) AS cnt FROM hv GROUP BY 2 UNION ALL SELECT 2 AS d, ((((hv) % 2147483647) * 1520856342 + 364538) % 2147483647) % 512 AS cell, CAST(count(*) AS BIGINT) AS cnt FROM hv GROUP BY 2 UNION ALL SELECT 3 AS d, ((((hv) % 2147483647) * 2027808456 + 405041) % 2147483647) % 512 AS cell, CAST(count(*) AS BIGINT) AS cnt FROM hv GROUP BY 2),
+       top AS (SELECT w, CAST(count(*) AS BIGINT) AS true_count FROM tok
+               GROUP BY 1 ORDER BY true_count DESC, w LIMIT 20),
+       tc AS (SELECT w, true_count, {h64_sql('w')} AS hv FROM top),
+       t AS (SELECT w, true_count, ((((hv) % 2147483647) * 506952114 + 283532) % 2147483647) % 512 AS c0, ((((hv) % 2147483647) * 1013904228 + 324035) % 2147483647) % 512 AS c1, ((((hv) % 2147483647) * 1520856342 + 364538) % 2147483647) % 512 AS c2, ((((hv) % 2147483647) * 2027808456 + 405041) % 2147483647) % 512 AS c3 FROM tc)
+       SELECT w, true_count, least(s0.cnt, s1.cnt, s2.cnt, s3.cnt) AS cm_estimate,
+              least(s0.cnt, s1.cnt, s2.cnt, s3.cnt) >= true_count AS is_overestimate
+       FROM t JOIN sk s0 ON s0.d = 0 AND s0.cell = t.c0 JOIN sk s1 ON s1.d = 1 AND s1.cell = t.c1 JOIN sk s2 ON s2.d = 2 AND s2.cell = t.c2 JOIN sk s3 ON s3.d = 3 AND s3.cell = t.c3 ORDER BY true_count DESC, w""",
+)
+def count_min_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates — sketch algebra #3 after MinHash signatures and the Bloom
+    bitmap: token frequencies summarized into a FIXED d×w = 4×512 int64
+    grid (one map-side-combinable groupBy over the d-way exploded token
+    stream; the grid size is independent of corpus size, and grids merge
+    by cell-wise addition — the mergeability a streaming/rollup counter
+    needs). Estimates are min over the d rows; the all-integer arithmetic
+    is bit-exact on both engines, and the overestimate-only guarantee
+    (estimate >= true count, never under) is asserted as an output
+    column. The top-20 true counts exist here only to exhibit the
+    estimates; production reads the 2 048-cell sketch alone."""
+    from wiki_entity_linker_spark.functions.hashing import h64, mh_family, mh_mix
+
+    fam = mh_family(4)
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokenize("text")).alias("w"))
+    hv = tok.select("w", h64("w").alias("hv"))
+    sk = (
+        hv.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("d"),
+                            (mh_mix(F.col("hv"), a, b) % 512).alias("cell"),
+                        )
+                        for i, (a, b) in enumerate(fam)
+                    ]
+                )
+            ).alias("s")
+        )
+        .groupBy(F.col("s.d").alias("d"), F.col("s.cell").alias("cell"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = (
+        hv.groupBy("w")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "w")
+        .limit(20)
+    )
+    t = top.select(
+        "w",
+        "true_count",
+        *[
+            (mh_mix(h64("w"), a, b) % 512).alias(f"c{i}")
+            for i, (a, b) in enumerate(fam)
+        ],
+    )
+    cnts = []
+    for i in range(4):
+        sl = sk.filter(F.col("d") == i).select(
+            F.col("cell").alias(f"c{i}"), F.col("cnt").alias(f"cnt{i}")
+        )
+        t = t.join(F.broadcast(sl), f"c{i}")
+        cnts.append(F.col(f"cnt{i}"))
+    est = F.least(*cnts)
+    return t.select(
+        "w",
+        "true_count",
+        est.alias("cm_estimate"),
+        (est >= F.col("true_count")).alias("is_overestimate"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
