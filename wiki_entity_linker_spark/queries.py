@@ -2947,6 +2947,54 @@ def count_min_heavy_hitters(spark, sf_dir):
     )
 
 
+@q(
+    "snm_fuzzy_pairs",
+    """WITH d AS (SELECT doc_id,
+                        substr(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                         'g'))), 1, 12) AS k
+                 FROM documents),
+       o AS (SELECT doc_id, k,
+                    row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+             FROM d),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(b.pos - a.pos AS BIGINT) AS dist,
+                    CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+             FROM o a JOIN o b
+               ON b.pos BETWEEN a.pos + 1 AND a.pos + 3)
+       SELECT id_a, id_b, dist, lev FROM p WHERE lev <= 3""",
+)
+def snm_fuzzy_pairs(spark, sf_dir):
+    """Sorted-neighborhood candidates VERIFIED by edit distance — the
+    two-stage fuzzy-key match (SNM window for recall, Levenshtein <= 3 on
+    the sort key for precision). The verify is JVM ``levenshtein`` on the
+    already-generated neighbor pairs (window-1 rows per doc — bounded),
+    never an all-pairs edit-distance join. Positions via the
+    order-contiguous bucket scheme (operators/blocking.
+    sorted_neighborhood_pairs); both engines' levenshtein are the classic
+    unit-cost edit distance, so the oracle is exact."""
+    from wiki_entity_linker_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(normalize_content("text"), 1, 12).alias("k")
+    )
+    pairs = sorted_neighborhood_pairs(d, "k", "doc_id", window=4)
+    ka = d.select(F.col("doc_id").alias("id_a"), F.col("k").alias("k_a"))
+    kb = d.select(F.col("doc_id").alias("id_b"), F.col("k").alias("k_b"))
+    return (
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dist",
+            F.levenshtein("k_a", "k_b").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= 3)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
