@@ -231,3 +231,43 @@ def test_bloom_bitmap_no_false_negatives(spark):
 
     assert hits(keys) == 200          # EVERY inserted key: no false negatives
     assert hits(others) < 20          # 2^18 bits / 200 keys: FP rate ~ 0
+
+
+def test_sketch_merge_algebra(spark):
+    """COVERAGE claims all three sketches are mergeable: sketch(A ∪ B)
+    must equal the cell-wise merge of sketch(A) and sketch(B) — cell-wise
+    ADD for count-min, member-wise MIN for MinHash signatures, word-wise
+    BIT-OR for the Bloom bitmap. This is what lets partition/manifest-
+    level summaries compose at 100 TB instead of re-scanning."""
+    from wiki_entity_linker_spark.functions.hashing import h64, mh_family, mh_mix
+    from wiki_entity_linker_spark.operators.bloom import bloom_bitmap
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(40)], "k string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(20, 70)], "k string")
+    u = a.union(b)
+
+    # bloom: OR of the word arrays
+    bm = {n: df.select("bitmap").first()["bitmap"]
+          for n, df in (("a", bloom_bitmap(a, "k")),
+                        ("b", bloom_bitmap(b, "k")),
+                        ("u", bloom_bitmap(u, "k")))}
+    assert [x | y for x, y in zip(bm["a"], bm["b"])] == bm["u"]
+
+    # minhash signature: member-wise min
+    fam = mh_family(8)
+    def sig(df):
+        row = df.select(*[F.min(mh_mix(h64("k"), x, y)).alias(f"m{i}")
+                          for i, (x, y) in enumerate(fam)]).first()
+        return [row[f"m{i}"] for i in range(8)]
+    assert [min(x, y) for x, y in zip(sig(a), sig(b))] == sig(u)
+
+    # count-min: cell-wise addition
+    W = 64
+    def grid(df):
+        rows = (df.select((mh_mix(h64("k"), *fam[0]) % W).alias("cell"))
+                .groupBy("cell").agg(F.count("*").alias("c")).collect())
+        g = [0] * W
+        for r in rows:
+            g[r["cell"]] = r["c"]
+        return g
+    assert [x + y for x, y in zip(grid(a), grid(b))] == grid(u)
