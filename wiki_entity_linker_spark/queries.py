@@ -2995,6 +2995,96 @@ def snm_fuzzy_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "stratified_sample",
+    f"""WITH d AS (SELECT doc_id, source,
+                        CAST(len({_toks_sql('text')}) AS BIGINT) AS n
+                 FROM documents),
+       hist AS (SELECT source, n, CAST(count(*) AS BIGINT) AS c
+                FROM d GROUP BY 1, 2),
+       cum AS (SELECT source, n, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY n
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n_docs
+              FROM hist),
+       thr AS (SELECT source,
+                     CAST(min(CASE WHEN cum >= ceil(0.25 * n_docs)
+                                   THEN n END) AS BIGINT) AS q25,
+                     CAST(min(CASE WHEN cum >= ceil(0.50 * n_docs)
+                                   THEN n END) AS BIGINT) AS q50,
+                     CAST(min(CASE WHEN cum >= ceil(0.75 * n_docs)
+                                   THEN n END) AS BIGINT) AS q75
+              FROM cum GROUP BY 1),
+       s AS (SELECT d.doc_id, d.source, d.n,
+                    CAST(CASE WHEN d.n <= q25 THEN 0
+                              WHEN d.n <= q50 THEN 1
+                              WHEN d.n <= q75 THEN 2 ELSE 3 END
+                         AS BIGINT) AS stratum
+             FROM d JOIN thr USING (source)),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY source, stratum
+                      ORDER BY {h64_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+                      AS rk
+             FROM s)
+       SELECT source, stratum, doc_id, n AS n_tokens, CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 3""",
+)
+def stratified_sample(spark, sf_dir):
+    """Stratified eval-set construction: 3 documents per (source,
+    length-quartile) stratum, picked in reproducible portable-hash order
+    — the sampler that keeps an eval slice representative across both
+    provenance and length, completing the curation chain
+    mixture_allocation → token_budget_sample → stratified_sample.
+
+    Scale shape: quartile thresholds come from the (source, length)
+    HISTOGRAM (the length_quantiles discipline — corpus-sized work is one
+    combinable groupBy; threshold windows run on the summary frame);
+    thresholds broadcast back (source-cardinality frame), stratum
+    assignment is row-local, and the only corpus-wide window partitions
+    by (source, stratum) — no single-partition funnel anywhere."""
+    from wiki_entity_linker_spark.functions.hashing import h64
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n")
+    )
+    hist = d.groupBy("source", "n").agg(F.count("*").cast("long").alias("c"))
+    ws = Window.partitionBy("source")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(ws.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("n_docs", F.sum("c").over(ws))
+
+    def _p(q: float):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n_docs")), F.col("n"))
+        ).cast("long")
+
+    thr = cum.groupBy("source").agg(
+        _p(0.25).alias("q25"), _p(0.50).alias("q50"), _p(0.75).alias("q75")
+    )
+    s = d.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "n",
+        F.when(F.col("n") <= F.col("q25"), 0)
+        .when(F.col("n") <= F.col("q50"), 1)
+        .when(F.col("n") <= F.col("q75"), 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("stratum"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source", "stratum").orderBy(
+            h64(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        s.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("source", "stratum", "doc_id", F.col("n").alias("n_tokens"), "rk")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
