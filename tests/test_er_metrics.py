@@ -1,0 +1,91 @@
+"""Hand-computed semantics for the ER evaluation metrics + quantization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wiki_entity_linker_spark.operators.er_metrics import bcubed, blocking_quality
+from wiki_entity_linker_spark.operators.quantize import quantize_embeddings
+
+
+def test_bcubed_hand_example(spark):
+    # Classic example: system merges gold clusters {1,2} and splits {3}.
+    # items: (id, sys, gold)
+    rows = [
+        (1, "A", "x"), (2, "A", "x"), (3, "A", "y"),
+        (4, "B", "y"), (5, "B", "y"),
+    ]
+    items = spark.createDataFrame(rows, ["id", "sys", "gold"])
+    out = bcubed(items, "sys", "gold").collect()[0]
+    # precision per item: A∩x=2/3, 2/3, A∩y=1/3 ; B∩y=2/2, 2/2 → avg = (2/3+2/3+1/3+1+1)/5
+    exp_p = (2 / 3 + 2 / 3 + 1 / 3 + 1 + 1) / 5
+    # recall per item: 2/2, 2/2, 1/3, 2/3, 2/3 → avg
+    exp_r = (1 + 1 + 1 / 3 + 2 / 3 + 2 / 3) / 5
+    assert out["n_items"] == 5
+    assert out["bcubed_precision"] == pytest.approx(exp_p, abs=1e-6)
+    assert out["bcubed_recall"] == pytest.approx(exp_r, abs=1e-6)
+    exp_f = 2 * exp_p * exp_r / (exp_p + exp_r)
+    assert out["bcubed_f1"] == pytest.approx(exp_f, abs=1e-6)
+
+
+def test_bcubed_perfect_clustering(spark):
+    items = spark.createDataFrame(
+        [(i, i % 3, i % 3) for i in range(30)], ["id", "sys", "gold"]
+    )
+    out = bcubed(items, "sys", "gold").collect()[0]
+    assert out["bcubed_precision"] == 1.0
+    assert out["bcubed_recall"] == 1.0
+    assert out["bcubed_f1"] == 1.0
+
+
+def test_blocking_quality_hand_example(spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    truth = spark.createDataFrame([(1, 2), (4, 5), (5, 6)], ["id_a", "id_b"])
+    out = blocking_quality(cand, truth, n_items=6).collect()[0]
+    assert out["n_candidates"] == 4
+    assert out["n_truth"] == 3
+    assert out["n_covered"] == 2  # (1,2) and (4,5); (5,6) missed
+    assert out["pairs_completeness"] == pytest.approx(2 / 3, abs=1e-6)
+    # 6 items → 15 possible pairs; 4 candidates → RR = 1 - 4/15
+    assert out["reduction_ratio"] == pytest.approx(1 - 4 / 15, abs=1e-6)
+
+
+def test_blocking_quality_dedups_input_pairs(spark):
+    cand = spark.createDataFrame([(1, 2), (1, 2)], ["id_a", "id_b"])
+    truth = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = blocking_quality(cand, truth, n_items=3).collect()[0]
+    assert out["n_candidates"] == 1
+    assert out["pairs_completeness"] == 1.0
+
+
+def test_quantization_roundtrip_invariants(spark):
+    dim = 8
+    rows = [
+        (i, [float((i * 7 + j * 13) % 29) / 29.0 for j in range(dim)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = quantize_embeddings(emb, "vec_id", "embedding", dim=dim)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 50
+    # codes are bounded: sum of dim uint8 codes ∈ [0, 255*dim]
+    for r in got.values():
+        assert 0 <= r["code_sum"] <= 255 * dim
+        # 255-level quantization of [0,1)-range data: per-dim error ≤
+        # (range/255)/2 → mse well under (1/255)² ≈ 1.5e-5
+        assert 0.0 <= r["mse"] <= (1.0 / 255) ** 2
+
+
+def test_quantization_constant_dim_exact(spark):
+    # a constant dimension must quantize to code 0 and reconstruct exactly
+    dim = 4
+    rows = [(i, [5.0, float(i), 5.0, float(dim - i)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = quantize_embeddings(emb, "vec_id", "embedding", dim=dim).collect()
+    # constant dims (0 and 2) contribute code 0 / error 0; extremes of the
+    # varying dims hit their bounds exactly → vec 0: codes (0,0,0,255)
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[0]["code_sum"] == 255
+    assert by_id[9]["code_sum"] == 255
+    assert by_id[0]["mse"] == 0.0

@@ -1,0 +1,117 @@
+"""Clustering / blocking quality metrics for entity resolution.
+
+The reference evaluates LINKING quality with ELEVANT-style per-mention
+cases (eval/elevant_cases.py); classic ER literature additionally evaluates
+the RESOLUTION side — how good the produced clustering is against a gold
+partition (B-cubed; Bagga & Baldwin 1998) and how good a blocking scheme is
+before any pairwise verification runs (pairs completeness / reduction
+ratio; Christen 2012, "Data Matching" ch. 7). Both are pure aggregations,
+so they run as first-class distributed rollups here:
+
+- :func:`bcubed` uses the contingency form of B-cubed — per-item precision
+  ``|C(i) ∩ G(i)| / |C(i)|`` summed over items equals
+  ``Σ_{c,g} n_cg² / n_c`` — three groupBys over the item table instead of a
+  per-item join, so the metric costs the same as a word count at 100 TB.
+- :func:`blocking_quality` is three counted set operations over canonical
+  pair keys (truth, candidates, their intersection); the quadratic sides
+  stay inside whatever generated the pair tables (banded/capped upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bcubed(
+    items: DataFrame,
+    sys_col: str,
+    gold_col: str,
+    precision_digits: int = 6,
+) -> DataFrame:
+    """B-cubed precision / recall / F1 of a system clustering vs a gold one.
+
+    ``items``: one row per item carrying ``sys_col`` (system cluster label)
+    and ``gold_col`` (gold cluster label). Returns a single row
+    ``(n_items, bcubed_precision, bcubed_recall, bcubed_f1)``.
+
+    Scale shape: three hash aggregations (over (c,g), c, g) and two joins of
+    the contingency table against the marginal size tables — each at most
+    #clusters rows, never #items² — then a 1-row global rollup. No per-item
+    state survives the first aggregation.
+    """
+    it = items.select(
+        F.col(sys_col).alias("__c"), F.col(gold_col).alias("__g")
+    )
+    cg = it.groupBy("__c", "__g").agg(F.count("*").alias("n_cg"))
+    cs = it.groupBy("__c").agg(F.count("*").alias("n_c"))
+    gs = it.groupBy("__g").agg(F.count("*").alias("n_g"))
+    joined = cg.join(cs, "__c").join(gs, "__g")
+    agg = joined.agg(
+        F.sum("n_cg").cast("long").alias("n_items"),
+        F.sum(
+            F.col("n_cg").cast("double") * F.col("n_cg") / F.col("n_c")
+        ).alias("__sp"),
+        F.sum(
+            F.col("n_cg").cast("double") * F.col("n_cg") / F.col("n_g")
+        ).alias("__sr"),
+    )
+    p = F.col("__sp") / F.col("n_items")
+    r = F.col("__sr") / F.col("n_items")
+    return agg.select(
+        "n_items",
+        F.round(p, precision_digits).alias("bcubed_precision"),
+        F.round(r, precision_digits).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), precision_digits).alias("bcubed_f1"),
+    )
+
+
+def blocking_quality(
+    candidate_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    n_items: int,
+    precision_digits: int = 6,
+) -> DataFrame:
+    """Pairs completeness + reduction ratio of a blocking scheme.
+
+    ``candidate_pairs`` / ``truth_pairs``: ``(id_a, id_b)`` canonical
+    (``id_a < id_b``) pair tables — candidates from the blocker under test
+    (pre-verification), truth from an exact similarity join. ``n_items`` is
+    the corpus size (drives the ``n·(n-1)/2`` reduction-ratio denominator —
+    a count, not data, so a plain int is the honest signature).
+
+    PC = |truth ∩ candidates| / |truth| (blocking recall);
+    RR = 1 − |candidates| / (n·(n-1)/2) (how much of the quadratic
+    comparison space the blocker prunes). Counts are exact integers; only
+    the two ratios are rounded floats.
+    """
+    cand = candidate_pairs.select("id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    truth = truth_pairs.select("id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    covered = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_true = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_cov = covered.agg(F.count("*").cast("long").alias("n_covered"))
+    total_pairs = n_items * (n_items - 1) // 2
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_cov)
+        .select(
+            F.lit(n_items).cast("long").alias("n_items"),
+            "n_candidates",
+            "n_truth",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_truth"),
+                precision_digits,
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double") / F.lit(float(total_pairs)),
+                precision_digits,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -3085,6 +3085,191 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# ER evaluation metrics (B-cubed, blocking quality) + embedding quantization
+# ===========================================================================
+
+def _bcubed_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
+    """The flagship clustering oracle (band-exact MinHash + recursive-CTE
+    components) nested as a derived table, then the contingency form of
+    B-cubed — Σ n_cg²/n_c and Σ n_cg²/n_g over the (system, gold) table."""
+    return f"""
+       WITH items AS (
+         SELECT s.id, s.component AS c,
+                d.source || '|' || CAST(d.n_chars // 100 AS VARCHAR) AS g
+         FROM ({_cc_oracle(n_hashes, bands, k, thr)}) s
+         JOIN documents d ON d.doc_id = s.id),
+       cg AS (SELECT c, g, count(*) AS n_cg FROM items GROUP BY 1, 2),
+       cs AS (SELECT c, count(*) AS n_c FROM items GROUP BY 1),
+       gs AS (SELECT g, count(*) AS n_g FROM items GROUP BY 1),
+       agg AS (SELECT CAST(sum(n_cg) AS BIGINT) AS n_items,
+                      sum(n_cg::DOUBLE * n_cg / n_c) AS sp,
+                      sum(n_cg::DOUBLE * n_cg / n_g) AS sr
+               FROM cg JOIN cs USING (c) JOIN gs USING (g))
+       SELECT n_items,
+              round(sp / n_items, 6) AS bcubed_precision,
+              round(sr / n_items, 6) AS bcubed_recall,
+              round(2 * (sp / n_items) * (sr / n_items) /
+                    ((sp / n_items) + (sr / n_items)), 6) AS bcubed_f1
+       FROM agg"""
+
+
+@q("bcubed_eval", _bcubed_oracle(16, 8, 3, 0.3))
+def bcubed_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the flagship
+    LSH near-dup clustering against a deterministic attribute gold
+    (source × 100-char length bucket) — the standard ER clustering metric
+    the reference never computes because it evaluates per-mention linking
+    only (its evaluate.py stops at TP/FP/FN cases).
+
+    Scale shape: the clustering is the flagship path; the metric itself is
+    three hash aggregations + two cluster-cardinality joins + a 1-row
+    rollup (operators/er_metrics.bcubed) — no per-item pass survives the
+    first groupBy."""
+    from wiki_entity_linker_spark.operators.er_metrics import bcubed
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(
+        d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
+        jaccard_threshold=0.3,
+    ).select("id_a", "id_b")
+    nodes = d.select(F.col("doc_id").alias("file_id"))
+    comp = components_with_singletons(
+        nodes, pairs, id_col="file_id", shuffle_partitions=8,
+        local_solve_threshold=500_000,
+    )
+    gold = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("source"), F.expr("CAST(n_chars div 100 AS STRING)")
+        ).alias("gold"),
+    )
+    items = comp.join(gold, comp["id"] == gold["doc_id"])
+    return bcubed(items, "component", "gold")
+
+
+def _blocking_quality_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
+    """Band-collision candidates (pre-verify) vs the EXACT shingle-Jaccard
+    truth from an uncapped inverted-index join (exact because any pair with
+    J > 0 shares at least one shingle), then PC / RR counts."""
+    rows = n_hashes // bands
+    mixes = ",\n              ".join(
+        f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_family(n_hashes))
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rows + r} = b.mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+       WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       shl AS (SELECT doc_id, {_shingles_sql('t', k)} AS g FROM toks),
+       sh AS (SELECT doc_id, unnest(g) AS shingle FROM shl),
+       h AS (SELECT doc_id, {h64_sql('shingle')} AS hs FROM sh),
+       sig AS (SELECT doc_id, {mixes} FROM h GROUP BY doc_id),
+       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})),
+       sizes AS (SELECT doc_id, len(g) AS n FROM shl),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       truth AS (SELECT id_a, id_b FROM shared
+                 JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+                 WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= {thr}),
+       counts AS (SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_items,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM truth t JOIN cand c USING (id_a, id_b)) AS n_covered)
+       SELECT n_items, n_candidates, n_truth, n_covered,
+              round(n_covered::DOUBLE / n_truth, 6) AS pairs_completeness,
+              round(1.0 - n_candidates::DOUBLE /
+                    (n_items::DOUBLE * (n_items - 1) / 2), 6) AS reduction_ratio
+       FROM counts"""
+
+
+@q("blocking_quality", _blocking_quality_oracle(16, 8, 3, 0.3))
+def blocking_quality_documents(spark, sf_dir):
+    """Pairs completeness + reduction ratio (Christen 2012) of the MinHash
+    band blocker, measured against the EXACT shingle-Jaccard truth from the
+    uncapped inverted-index join — the pre-deployment question for any
+    blocking scheme at 100 TB ("what fraction of true matches survive
+    banding, and how much of the n² space does it prune?"), answered as a
+    distributed rollup instead of a sampled audit.
+
+    The truth side is exact, not another approximation: a pair with
+    Jaccard > 0 shares ≥ 1 shingle, so the inverted index (no doc-freq cap
+    here — exactness is the point of the truth table) enumerates every
+    pair above the threshold."""
+    from wiki_entity_linker_spark.operators.blocking import (
+        lsh_band_blocks,
+        minhash_from_shingles,
+        pairs_from_blocks,
+    )
+    from wiki_entity_linker_spark.operators.er_metrics import blocking_quality
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(F.col("doc_id"), shingles(tokenize("text"), 3).alias("sh"))
+    sigs = minhash_from_shingles(sh, "doc_id", "sh", 16)
+    cand = pairs_from_blocks(lsh_band_blocks(sigs, "doc_id", 8, 16), "doc_id")
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_doc_freq=None
+    ).select("id_a", "id_b")
+    n_items = d.count()
+    return blocking_quality(cand, truth, n_items)
+
+
+def _quantize_oracle(dim: int, levels: int = 255) -> str:
+    """Per-dim min/max bounds → uint8 codes (floor(x+0.5), half-up both
+    engines) → reconstruction error; explicit left-associated sums pin the
+    double-addition order so both engines agree bit-for-bit."""
+    bounds = ", ".join(
+        f"min(embedding[{i + 1}])::DOUBLE AS mn{i}, "
+        f"max(embedding[{i + 1}])::DOUBLE AS mx{i}"
+        for i in range(dim)
+    )
+    codes = ", ".join(
+        f"CASE WHEN mx{i} = mn{i} THEN 0 ELSE CAST(floor("
+        f"((embedding[{i + 1}]::DOUBLE - mn{i}) / (mx{i} - mn{i})) * {levels}.0"
+        f" + 0.5) AS BIGINT) END AS c{i}"
+        for i in range(dim)
+    )
+    errs = ", ".join(
+        f"(embedding[{i + 1}]::DOUBLE - (mn{i} + ((c{i}::DOUBLE * (mx{i} - mn{i}))"
+        f" / {levels}.0))) * (embedding[{i + 1}]::DOUBLE - (mn{i} + ((c{i}::DOUBLE"
+        f" * (mx{i} - mn{i})) / {levels}.0))) AS e{i}"
+        for i in range(dim)
+    )
+    code_sum = " + ".join(f"c{i}" for i in range(dim))
+    err_sum = " + ".join(f"e{i}" for i in range(dim))
+    return f"""
+       WITH st AS (SELECT {bounds} FROM embeddings),
+       coded AS (SELECT vec_id, embedding, st.*, {codes}
+                 FROM embeddings, st),
+       erred AS (SELECT vec_id, {code_sum} AS code_sum, {errs} FROM coded)
+       SELECT vec_id, CAST(code_sum AS BIGINT) AS code_sum,
+              round(({err_sum}) / {dim}.0, 9) AS mse
+       FROM erred"""
+
+
+@q("embedding_quantization", _quantize_oracle(64))
+def embedding_quantization(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column: per-dimension
+    global min/max bounds (ONE combinable aggregate, broadcast back as a
+    1-row cross join) → uint8 codes + reconstruction MSE, all row-local JVM
+    column math. The 4×-smaller codes are what a 100 TB ANN index stores;
+    the float column is read only by the exact-rescore stage
+    (operators/quantize.py). code_sum is the exact integer checksum of the
+    full code vector, so the oracle pins every code, not just the error."""
+    from wiki_entity_linker_spark.operators.quantize import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding", dim=64)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
