@@ -3270,6 +3270,70 @@ def embedding_quantization(spark, sf_dir):
     return quantize_embeddings(emb, "vec_id", "embedding", dim=64)
 
 
+@q(
+    "asof_join_events",
+    """WITH u AS (
+         SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie,
+                NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val,
+                NULL::TIMESTAMP AS rts, event_id
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, 0, event_id, event_id, value, ts, NULL::BIGINT
+         FROM events WHERE event_type = 'view'),
+       w AS (SELECT *,
+               last_value(rts IGNORE NULLS) OVER win AS mts,
+               last_value(p_id IGNORE NULLS) OVER win AS m_id,
+               last_value(p_val IGNORE NULLS) OVER win AS m_val
+             FROM u
+             WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+       SELECT event_id, user_id, ts,
+              CASE WHEN mts IS NOT NULL AND mts >= ts - INTERVAL 48 HOURS
+                   THEN mts END AS matched_ts,
+              CASE WHEN mts IS NOT NULL AND mts >= ts - INTERVAL 48 HOURS
+                   THEN m_id END AS view_event_id,
+              CASE WHEN mts IS NOT NULL AND mts >= ts - INTERVAL 48 HOURS
+                   THEN round(m_val, 6) END AS view_value
+       FROM w WHERE side = 1""",
+)
+def asof_join_events(spark, sf_dir):
+    """General as-of join (operators/asof.py): each purchase picks the
+    nearest-preceding view of the same user within a 48 h tolerance,
+    carrying the matched view's id/timestamp/value. The union-merge plan —
+    ONE hash shuffle on the key, one sorted window scan, |L|+|R| rows with
+    zero join amplification — where the naive range-join + argmax encoding
+    shuffles twice and explodes on wide lookback windows. The coref stage
+    (plans/coref.py) is this operator specialized to one table."""
+    from wiki_entity_linker_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_tie="event_id",
+        payload={"view_event_id": "event_id", "view_value": "value"},
+        tolerance_seconds=48 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "matched_ts",
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
