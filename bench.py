@@ -91,6 +91,11 @@ SF1_QUERIES = [
     # membership — the sf1 leg shows the plan-shape difference in seconds
     "bloom_decontamination",
     "label_centroids",
+    # round 5, fourth batch: ER-metric rollups on the flagship clustering,
+    # the temporal union-merge join, and the vectorized quantization pass
+    "bcubed_eval",
+    "asof_join_events",
+    "embedding_quantization",
 ]
 
 

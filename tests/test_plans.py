@@ -275,3 +275,47 @@ def test_collocation_lift_topk_plan(spark, sf001):
     plan = _plan(collocation_lift(spark, sf001))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_quantization_plan_shape(spark, sf001):
+    """ONE aggregate pass computes the bounds (map-side partial → single
+    final row), the bounds broadcast back, and the fact side is never
+    shuffled — codes/error are row-local inside whole-stage codegen."""
+    from wiki_entity_linker_spark.queries import embedding_quantization
+
+    plan = _plan(embedding_quantization(spark, sf001))
+    # the only exchanges: the bounds' SinglePartition funnel (1 row) and
+    # the broadcast back; no hash shuffle of the vectors
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    # bounds pass + fact pass (operator lines; details repeat the name)
+    assert sum(
+        1 for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l
+    ) == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen check needs the non-adaptive plan (AQE's formatted explain
+    # hides codegen ids until stages materialize): every operator above
+    # the scans must carry the whole-stage-codegen star
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        static = embedding_quantization(spark, sf001)
+        tree = static._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "*(3) Project" in tree and "*(3) BroadcastNestedLoopJoin" in tree
+
+
+def test_bcubed_metric_is_aggregate_only(spark):
+    """The metric never joins back to the item table: after the first
+    groupBy everything is cluster-cardinality-sized."""
+    from wiki_entity_linker_spark.operators.er_metrics import bcubed
+
+    items = spark.range(1000).select(
+        (F.col("id") % 7).alias("sys"), (F.col("id") % 13).alias("gold")
+    )
+    plan = _plan(bcubed(items, "sys", "gold"))
+    # one scan of the items feeding one partial aggregate; the (c,g)
+    # contingency table is then the ONLY descendant of the joins
+    assert plan.count("Scan ") <= 1
+    assert "partial_count" in plan

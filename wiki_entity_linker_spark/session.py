@@ -72,6 +72,9 @@ def cluster_conf_profile(
         "spark.shuffle.file.buffer": "1m",
         "spark.io.compression.codec": "zstd",
         "spark.sql.session.timeZone": "UTC",
+        # wide per-dimension column math (e.g. 64-dim quantization ≈ 200
+        # live fields mid-plan) must stay codegen-eligible
+        "spark.sql.codegen.maxFields": "400",
     }
 
 
@@ -120,6 +123,12 @@ def get_spark(
         # split small-but-CPU-heavy parquet inputs across cores (a 50 MB
         # file at the default 128 MB split is a single task)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # headroom for the per-dimension column-math operators (embedding
+        # quantization: 64 dims ≈ 200 live fields mid-plan): keep wide
+        # projections codegen-ELIGIBLE rather than risk the interpreted
+        # fallback the default maxFields=100 allows (verified: the
+        # quantization plan codegens end-to-end, *(n) spans in explain)
+        .config("spark.sql.codegen.maxFields", "400")
     )
     # Shuffle/spill on tmpfs when available: the sandbox's single shared
     # disk is a serial resource that caps multi-core scaling (a real 4×
