@@ -91,14 +91,20 @@ def blocking_quality(
     truth = truth_pairs.select("id_a", "id_b").dropDuplicates(
         ["id_a", "id_b"]
     )
-    covered = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    # one pass over the (usually expensive) truth side: a left join marks
+    # coverage, so n_truth and n_covered come from the SAME aggregation —
+    # a semi-join + separate counts would evaluate the truth subtree twice
+    marked = truth.join(
+        cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    n_tc = marked.agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.count("__hit").cast("long").alias("n_covered"),
+    )
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-    n_true = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_cov = covered.agg(F.count("*").cast("long").alias("n_covered"))
     total_pairs = n_items * (n_items - 1) // 2
     return (
-        n_cand.crossJoin(n_true)
-        .crossJoin(n_cov)
+        n_cand.crossJoin(n_tc)
         .select(
             F.lit(n_items).cast("long").alias("n_items"),
             "n_candidates",
