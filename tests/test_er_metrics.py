@@ -89,3 +89,42 @@ def test_quantization_constant_dim_exact(spark):
     assert by_id[0]["code_sum"] == 255
     assert by_id[9]["code_sum"] == 255
     assert by_id[0]["mse"] == 0.0
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from wiki_entity_linker_spark.operators.graph import triangle_counts
+
+    # K4: every node has degree 3 and sits in 3 triangles, coeff = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(k4, ["id_a", "id_b"])).collect()}
+    assert all(out[n]["triangles"] == 3 and out[n]["degree"] == 3 for n in range(4))
+    assert all(out[n]["clustering_coeff"] == 1.0 for n in range(4))
+
+    # path 0-1-2: no triangles; middle node coeff 0, endpoints degree 1
+    path = [(0, 1), (1, 2)]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(path, ["id_a", "id_b"])).collect()}
+    assert all(r["triangles"] == 0 for r in out.values())
+    assert out[1]["degree"] == 2 and out[1]["clustering_coeff"] == 0.0
+
+    # triangle + pendant: node 0 in 1 triangle with degree 3 → coeff 1/3
+    g = [(0, 1), (0, 2), (1, 2), (0, 3)]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(g, ["id_a", "id_b"])).collect()}
+    assert out[0]["triangles"] == 1 and out[0]["degree"] == 3
+    assert out[0]["clustering_coeff"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3] ["triangles"] == 0 and out[3]["degree"] == 1
+
+
+def test_triangle_counts_skew_star_plus_clique(spark):
+    from wiki_entity_linker_spark.operators.graph import triangle_counts
+
+    # hub star (no triangles) + separate K5: the degree-ordered orientation
+    # must not fan wedges out of the hub
+    star = [(100, i) for i in range(50)]
+    k5 = [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]
+    out = {r["node"]: r for r in triangle_counts(
+        spark.createDataFrame(star + k5, ["id_a", "id_b"])).collect()}
+    assert out[100]["triangles"] == 0 and out[100]["degree"] == 50
+    assert all(out[200 + n]["triangles"] == 6 for n in range(5))

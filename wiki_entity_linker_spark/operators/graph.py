@@ -106,3 +106,83 @@ def pagerank_fixed_point(
         F.col("pr").alias("pr_fp"),
         F.round(F.col("pr") / F.lit(float(scale)), 6).alias("pr"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    mgr=None,
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient over
+    the undirected graph of canonical (``id_a < id_b``) edges — the cluster
+    cohesion diagnostic for a dup/kNN graph (a near-dup cluster whose nodes
+    share no triangles is a chain of borderline matches, not a clique).
+
+    Degree-ordered orientation (the classic O(m^{3/2}) bound): every edge
+    is directed from its lower endpoint to its higher endpoint under the
+    (degree, id) total order, so wedges fan out only from each edge's
+    LOW-degree side — a hub of degree d contributes wedges only through its
+    (rare) higher-ordered neighbors instead of d² pairs. Each triangle is
+    enumerated exactly once (its vertices form a chain in the order), and
+    the wedge→closing-edge check is two self-joins on the oriented edge
+    list. Returns ``(node, degree, triangles, clustering_coeff)`` for every
+    node in the edge set, coefficient = 2T / (d·(d−1)) (0.0 when d < 2).
+    """
+    und = _cut(
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .unionByName(
+            edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        ),
+        mgr,
+        "tri_und",
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    # orient u→v iff (deg_u, u) < (deg_v, v): joins deg twice (node-sized
+    # dimension; AQE broadcasts it when small, shuffles when not)
+    ranked = (
+        und.join(deg.withColumnRenamed("deg", "du"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+    )
+    ori = _cut(ranked.select("u", "v", "dv"), mgr, "tri_oriented")
+    # wedges from the low vertex; order the two high endpoints so the
+    # closing edge's orientation is known (v before w in the total order)
+    w1 = ori.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    w2 = ori.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi").select(
+        "u", "x", "y"
+    )
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    out = deg.withColumnRenamed("u", "node").join(per_node, "node", "left")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    d = F.col("deg")
+    coeff = F.when(
+        d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "node",
+        d.alias("degree"),
+        t.alias("triangles"),
+        coeff.alias("clustering_coeff"),
+    )

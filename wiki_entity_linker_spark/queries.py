@@ -3334,6 +3334,55 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+def _triangle_oracle() -> str:
+    """Per-node triangle counts are orientation-invariant, so the oracle
+    enumerates triangles by plain id order (a<b<c chain joins) while the
+    Spark operator uses the degree-ordered orientation — same counts."""
+    edges = _neardup_lsh_oracle(
+        dim=64, thr=0.2, n_planes=6, n_tables=3, max_bucket=256
+    )
+    return f"""
+       WITH e0 AS (SELECT id_a, id_b FROM ({edges})),
+       und AS (SELECT id_a AS u, id_b AS v FROM e0
+               UNION SELECT id_b, id_a FROM e0),
+       deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+               FROM und GROUP BY 1),
+       tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+               FROM e0 e1 JOIN e0 e2 ON e1.id_b = e2.id_a
+               JOIN e0 e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY 1)
+       SELECT d.node, d.degree,
+              CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+              CASE WHEN d.degree >= 2
+                   THEN round(2.0 * COALESCE(t.triangles, 0) /
+                              (d.degree * (d.degree - 1)), 6)
+                   ELSE 0.0 END AS clustering_coeff
+       FROM deg d LEFT JOIN tn t USING (node)"""
+
+
+@q("triangle_clustering", _triangle_oracle())
+def triangle_clustering(spark, sf_dir):
+    """Per-node triangle participation + local clustering coefficient over
+    the embedding near-dup graph — the cluster-cohesion diagnostic that
+    separates tight near-dup cliques from chains of borderline matches
+    before anything is deleted. Edges come from the bucketed RHP-LSH path
+    (never all-pairs); the count uses the degree-ordered orientation
+    (operators/graph.triangle_counts), so wedges fan out of each edge's
+    LOW-degree side only — the O(m^1.5) bound that survives hub skew at
+    100 TB where naive a<b<c id-order joins melt on a hot vertex."""
+    from wiki_entity_linker_spark.operators.graph import triangle_counts
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_lsh_pairs(
+        emb, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.2,
+        n_planes=6, n_tables=3, max_bucket=256,
+    ).select("id_a", "id_b")
+    return triangle_counts(edges)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
