@@ -271,3 +271,24 @@ def test_sketch_merge_algebra(spark):
             g[r["cell"]] = r["c"]
         return g
     assert [x + y for x, y in zip(grid(a), grid(b))] == grid(u)
+
+    # log-histogram quantile sketch: bin-wise addition (sketch #4) — the
+    # same integer binning the quantile_sketch query uses (floor-log2 via
+    # binary-string length, 8 mantissa sub-bins)
+    av = spark.createDataFrame([(i * 37 % 997 + 1,) for i in range(200)], "val long")
+    bv = spark.createDataFrame([(i * 61 % 2039 + 1,) for i in range(300)], "val long")
+    uv = av.union(bv)
+
+    def qhist(df):
+        bl = F.length(F.conv(F.col("val").cast("string"), 10, 2)) - 1
+        p = F.pow(F.lit(2.0), (bl - 3).cast("double")).cast("long")
+        binned = df.select(
+            F.when(F.col("val") < 16, F.col("val"))
+            .otherwise((bl * 8 + (F.col("val") / p).cast("long") % 8).cast("long"))
+            .alias("bin"))
+        return {r["bin"]: r["c"] for r in
+                binned.groupBy("bin").agg(F.count("*").alias("c")).collect()}
+
+    ha, hb, hu = qhist(av), qhist(bv), qhist(uv)
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    assert merged == hu

@@ -3383,6 +3383,135 @@ def triangle_clustering(spark, sf_dir):
     return triangle_counts(edges)
 
 
+@q(
+    "quantile_sketch",
+    """WITH v AS (SELECT n_chars AS val FROM documents WHERE n_chars > 0),
+       bb AS (SELECT val, length(format('{:b}', val)) - 1 AS b FROM v),
+       binned AS (SELECT val,
+         CASE WHEN val < 16 THEN val
+              ELSE b * 8 + (val // CAST(power(2, b - 3) AS BIGINT)) % 8
+              END AS bin
+         FROM bb),
+       hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
+                FROM binned GROUP BY 1),
+       cum AS (SELECT bin, c,
+               sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS n FROM hist),
+       qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q),
+       est AS (SELECT q,
+                 CAST(min(CASE WHEN cum >= ceil(q * n) THEN bin END)
+                      AS BIGINT) AS bin,
+                 CAST(max(n) AS BIGINT) AS n_items
+               FROM qs CROSS JOIN cum GROUP BY 1),
+       dec AS (SELECT q, n_items, bin,
+         CASE WHEN bin < 16 THEN bin
+              ELSE (8 + bin % 8) * CAST(power(2, bin // 8 - 3) AS BIGINT)
+              END AS sketch_lb,
+         CASE WHEN bin < 16 THEN 1
+              ELSE CAST(power(2, bin // 8 - 3) AS BIGINT) END AS width
+         FROM est),
+       vh AS (SELECT val, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+       vc AS (SELECT val,
+               sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER () AS n FROM vh),
+       ex AS (SELECT q, CAST(min(CASE WHEN cum >= ceil(q * n) THEN val END)
+                             AS BIGINT) AS exact_q
+              FROM qs CROSS JOIN vc GROUP BY 1)
+       SELECT d.q, d.n_items, d.bin, d.sketch_lb, e.exact_q,
+              e.exact_q >= d.sketch_lb
+                AND e.exact_q < d.sketch_lb + d.width AS in_bin
+       FROM dec d JOIN ex e USING (q)""",
+)
+def quantile_sketch(spark, sf_dir):
+    """Mergeable log-histogram quantile sketch — sketch algebra #4 after
+    MinHash (min-merge), Bloom (bit-or) and count-min (cell-add): document
+    lengths binned into base-2 bins with 8 mantissa sub-bins (relative
+    width ≤ 1/8), ALL integer arithmetic (floor-log2 via binary string
+    length — no float log), so the sketch is bit-exact across engines and
+    two sketches merge by bin-wise count addition. Quantile estimates read
+    the cumulative histogram: ~70 bins summarize any corpus size, the only
+    corpus-wide work is one combinable groupBy (the length_quantiles
+    discipline — the single-partition window runs on the bin-count frame,
+    never the corpus). The exact quantile column exists to exhibit the
+    ≤1/8 relative-error guarantee (in_bin asserts the exact value falls in
+    the estimated bin); production reads the sketch alone."""
+    d = _t(spark, sf_dir, "documents")
+    v = d.filter(F.col("n_chars") > 0).select(F.col("n_chars").alias("val"))
+    b = F.length(F.conv(F.col("val").cast("string"), 10, 2)) - 1
+    p = F.pow(F.lit(2.0), (b - 3).cast("double")).cast("long")
+    binned = v.select(
+        "val",
+        F.when(F.col("val") < 16, F.col("val"))
+        .otherwise((b * 8 + (F.col("val") / p).cast("long") % 8).cast("long"))
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").cast("long").alias("c"))
+    w_all = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        F.sum("c").over(w_all).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9, 0.99)]))
+        .alias("q")
+    )
+    est = (
+        qs.crossJoin(cum)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.col("q") * F.col("n")), F.col("bin"))
+            ).cast("long").alias("bin"),
+            F.max("n").cast("long").alias("n_items"),
+        )
+    )
+    eb = F.col("bin")
+    lb_p = F.pow(F.lit(2.0), ((eb / 8).cast("long") - 3).cast("double")).cast("long")
+    dec = est.select(
+        "q",
+        "n_items",
+        "bin",
+        F.when(eb < 16, eb).otherwise((8 + eb % 8) * lb_p).alias("sketch_lb"),
+        F.when(eb < 16, F.lit(1).cast("long")).otherwise(lb_p).alias("width"),
+    )
+    vh = v.groupBy("val").agg(F.count("*").cast("long").alias("c"))
+    wv = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vh.select(
+        "val",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("val").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    ex = (
+        qs.crossJoin(vc)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.col("q") * F.col("n")), F.col("val"))
+            ).cast("long").alias("exact_q")
+        )
+    )
+    return dec.join(ex, "q").select(
+        "q",
+        "n_items",
+        "bin",
+        "sketch_lb",
+        "exact_q",
+        (
+            (F.col("exact_q") >= F.col("sketch_lb"))
+            & (F.col("exact_q") < F.col("sketch_lb") + F.col("width"))
+        ).alias("in_bin"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
