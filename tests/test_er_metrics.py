@@ -128,3 +128,45 @@ def test_triangle_counts_skew_star_plus_clique(spark):
         spark.createDataFrame(star + k5, ["id_a", "id_b"])).collect()}
     assert out[100]["triangles"] == 0 and out[100]["degree"] == 50
     assert all(out[200 + n]["triangles"] == 6 for n in range(5))
+
+
+def test_pairwise_clustering_hand_example(spark):
+    from wiki_entity_linker_spark.operators.er_metrics import pairwise_clustering
+
+    rows = [
+        (1, "A", "x"), (2, "A", "x"), (3, "A", "y"),
+        (4, "B", "y"), (5, "B", "y"),
+    ]
+    items = spark.createDataFrame(rows, ["id", "sys", "gold"])
+    out = pairwise_clustering(items, "sys", "gold").collect()[0]
+    # sys pairs: C(3,2)+C(2,2) = 3+1 = 4 ; gold pairs: C(2,2)+C(3,2) = 4
+    # TP: cells (A,x)=2 → 1 pair, (A,y)=1 → 0, (B,y)=2 → 1 ⇒ TP=2
+    assert out["tp"] == 2 and out["sys_pairs"] == 4 and out["gold_pairs"] == 4
+    assert out["pair_precision"] == pytest.approx(0.5, abs=1e-9)
+    assert out["pair_recall"] == pytest.approx(0.5, abs=1e-9)
+    assert out["pair_f1"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_pairwise_vs_bcubed_divergence_on_skew(spark):
+    # one giant cluster that wrongly absorbs 10 singletons: pairwise counts
+    # wrong PAIRS (10 intruders x 100 + C(10,2) of 5995), B-cubed averages
+    # per-ITEM precision — deterministic values pin that the two metrics
+    # genuinely differ (the reason ER reports carry both)
+    from wiki_entity_linker_spark.operators.er_metrics import (
+        bcubed,
+        pairwise_clustering,
+    )
+
+    rows = [(i, "BIG", "BIG") for i in range(100)] + [
+        (100 + i, "BIG", f"s{i}") for i in range(10)
+    ]
+    items = spark.createDataFrame(rows, ["id", "sys", "gold"])
+    pw = pairwise_clustering(items, "sys", "gold").collect()[0]
+    bc = bcubed(items, "sys", "gold").collect()[0]
+    assert pw["tp"] == 4950 and pw["sys_pairs"] == 5995
+    assert pw["pair_precision"] == pytest.approx(4950 / 5995, abs=1e-6)
+    # b3 precision: 100 items at 100/110 + 10 items at 1/110, averaged
+    exp_b3 = (100 * (100 / 110) + 10 * (1 / 110)) / 110
+    assert bc["bcubed_precision"] == pytest.approx(exp_b3, abs=1e-6)
+    assert pw["pair_precision"] != bc["bcubed_precision"]
+    assert pw["pair_recall"] == 1.0 and bc["bcubed_recall"] == 1.0

@@ -66,6 +66,60 @@ def bcubed(
     )
 
 
+def pairwise_clustering(
+    items: DataFrame,
+    sys_col: str,
+    gold_col: str,
+    precision_digits: int = 6,
+) -> DataFrame:
+    """Pairwise precision / recall / F1 of a system clustering vs gold —
+    the ER-literature companion to :func:`bcubed` (B-cubed weights items,
+    pairwise weights co-reference DECISIONS, so the two disagree exactly
+    when cluster sizes are skewed; reporting both is standard practice).
+
+    Entirely integer until the final ratios: TP = Σ_{c,g} C(n_cg, 2),
+    system pairs = Σ_c C(n_c, 2), gold pairs = Σ_g C(n_g, 2) — three hash
+    aggregations over the item table, a 1-row rollup, and never a pair
+    table (the n² pair space is summarized by the contingency counts).
+    """
+    it = items.select(
+        F.col(sys_col).alias("__c"), F.col(gold_col).alias("__g")
+    )
+
+    def c2(col):
+        # cast each C(n,2) to long BEFORE summing: the sum stays integer
+        # arithmetic in the engine (no float accumulation to worry about)
+        return F.sum((F.col(col) * (F.col(col) - 1) / 2).cast("long")).cast("long")
+
+    tp = (
+        it.groupBy("__c", "__g")
+        .agg(F.count("*").alias("n_cg"))
+        .agg(c2("n_cg").alias("tp"), F.sum("n_cg").cast("long").alias("n_items"))
+    )
+    sys_p = (
+        it.groupBy("__c")
+        .agg(F.count("*").alias("n_c"))
+        .agg(c2("n_c").alias("sys_pairs"))
+    )
+    gold_p = (
+        it.groupBy("__g")
+        .agg(F.count("*").alias("n_g"))
+        .agg(c2("n_g").alias("gold_pairs"))
+    )
+    joined = tp.crossJoin(sys_p).crossJoin(gold_p)
+    p = F.col("tp") / F.col("sys_pairs")
+    r = F.col("tp") / F.col("gold_pairs")
+    return joined.select(
+        "n_items",
+        "tp",
+        "sys_pairs",
+        "gold_pairs",
+        F.round(p, precision_digits).alias("pair_precision"),
+        F.round(r, precision_digits).alias("pair_recall"),
+        F.round(2 * p * r / (p + r), precision_digits).alias("pair_f1"),
+    )
+
+
 def blocking_quality(
     candidate_pairs: DataFrame,
     truth_pairs: DataFrame,

@@ -3148,6 +3148,64 @@ def bcubed_eval(spark, sf_dir):
     return bcubed(items, "component", "gold")
 
 
+def _pairwise_cluster_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
+    """Contingency form of pairwise clustering P/R/F1: TP = Σ C(n_cg,2),
+    system pairs = Σ C(n_c,2), gold pairs = Σ C(n_g,2) — integers until the
+    final rounded ratios."""
+    return f"""
+       WITH items AS (
+         SELECT s.id, s.component AS c,
+                d.source || '|' || CAST(d.n_chars // 100 AS VARCHAR) AS g
+         FROM ({_cc_oracle(n_hashes, bands, k, thr)}) s
+         JOIN documents d ON d.doc_id = s.id),
+       tp AS (SELECT CAST(sum(CAST(n_cg * (n_cg - 1) / 2 AS BIGINT)) AS BIGINT) AS tp,
+                     CAST(sum(n_cg) AS BIGINT) AS n_items
+              FROM (SELECT count(*) AS n_cg FROM items GROUP BY c, g)),
+       sp AS (SELECT CAST(sum(CAST(n_c * (n_c - 1) / 2 AS BIGINT)) AS BIGINT) AS sys_pairs
+              FROM (SELECT count(*) AS n_c FROM items GROUP BY c)),
+       gp AS (SELECT CAST(sum(CAST(n_g * (n_g - 1) / 2 AS BIGINT)) AS BIGINT) AS gold_pairs
+              FROM (SELECT count(*) AS n_g FROM items GROUP BY g))
+       SELECT n_items, tp, sys_pairs, gold_pairs,
+              round(tp / CAST(sys_pairs AS DOUBLE), 6) AS pair_precision,
+              round(tp / CAST(gold_pairs AS DOUBLE), 6) AS pair_recall,
+              round(2 * (tp / CAST(sys_pairs AS DOUBLE))
+                      * (tp / CAST(gold_pairs AS DOUBLE))
+                    / ((tp / CAST(sys_pairs AS DOUBLE))
+                       + (tp / CAST(gold_pairs AS DOUBLE))), 6) AS pair_f1
+       FROM tp, sp, gp"""
+
+
+@q("pairwise_cluster_eval", _pairwise_cluster_oracle(16, 8, 3, 0.3))
+def pairwise_cluster_eval(spark, sf_dir):
+    """Pairwise clustering precision/recall/F1 of the flagship LSH
+    clustering vs the same attribute gold as bcubed_eval — the
+    ER-literature companion metric (pairwise weights co-reference
+    DECISIONS where B-cubed weights items; they diverge exactly on skewed
+    cluster sizes, so reports carry both). All-integer contingency math
+    (Σ C(n,2) over three hash aggregations), never a materialized pair
+    table — word-count cost at any corpus size."""
+    from wiki_entity_linker_spark.operators.er_metrics import pairwise_clustering
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(
+        d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
+        jaccard_threshold=0.3,
+    ).select("id_a", "id_b")
+    nodes = d.select(F.col("doc_id").alias("file_id"))
+    comp = components_with_singletons(
+        nodes, pairs, id_col="file_id", shuffle_partitions=8,
+        local_solve_threshold=500_000,
+    )
+    gold = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("source"), F.expr("CAST(n_chars div 100 AS STRING)")
+        ).alias("gold"),
+    )
+    items = comp.join(gold, comp["id"] == gold["doc_id"])
+    return pairwise_clustering(items, "component", "gold")
+
+
 def _blocking_quality_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
     """Band-collision candidates (pre-verify) vs the EXACT shingle-Jaccard
     truth from an uncapped inverted-index join (exact because any pair with
