@@ -93,3 +93,33 @@ def test_asof_single_shuffle_plan(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(k") <= 1
     assert out.count() == 100
+
+
+def test_asof_matched_row_with_null_payload_stays_whole(spark):
+    # a matched right row whose payload is NULL must yield NULL payload —
+    # never inherit an older right row's value (the frankenrow bug class:
+    # per-column ignorenulls carries mix fields from different matches)
+    left = spark.createDataFrame([(1, _ts(20), 100)], ["k", "lts", "lid"])
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7, 0.9), (1, _ts(10), 8, None)],
+        "k long, rts timestamp, rid long, val double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_tie="rid", payload={"m_rid": "rid", "m_val": "val"},
+    ).collect()[0]
+    assert out["m_rid"] == 8
+    assert out["matched_ts"] == _ts(10)
+    assert out["m_val"] is None  # NOT 0.9 from the older row
+
+
+def test_asof_fractional_tolerance_parses(spark):
+    # small float tolerances must not render as scientific notation in the
+    # INTERVAL literal
+    got = _run(
+        spark,
+        [(1, _ts(10), 100)],
+        [(1, _ts(9), 5, 0.5)],
+        tolerance=1e-05,
+    )
+    assert got[100] == (None, None, None)  # 1s gap > 10µs tolerance

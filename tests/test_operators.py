@@ -281,10 +281,10 @@ def test_sketch_merge_algebra(spark):
 
     def qhist(df):
         bl = F.length(F.conv(F.col("val").cast("string"), 10, 2)) - 1
-        p = F.pow(F.lit(2.0), (bl - 3).cast("double")).cast("long")
+        mant = F.call_function("shiftright", F.col("val"), (bl - 3).cast("int"))
         binned = df.select(
             F.when(F.col("val") < 16, F.col("val"))
-            .otherwise((bl * 8 + (F.col("val") / p).cast("long") % 8).cast("long"))
+            .otherwise((bl * 8 + mant % 8).cast("long"))
             .alias("bin"))
         return {r["bin"]: r["c"] for r in
                 binned.groupBy("bin").agg(F.count("*").alias("c")).collect()}

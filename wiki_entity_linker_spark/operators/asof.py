@@ -54,28 +54,33 @@ def asof_join(
     """
     out_cols = list(payload.keys())
     left_extra = [c for c in left.columns if c not in on and c != left_ts]
-    lhs = left.select(
-        *[F.col(c) for c in on],
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[right_tie].dataType).alias("__tie"),
-        *[
-            F.lit(None).cast(right.schema[src].dataType).alias(f"__p_{dst}")
-            for dst, src in payload.items()
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
-        F.struct(
-            *([F.col(c) for c in left_extra] or [F.lit(0).alias("__none")])
-        ).alias("__l"),
+    # the matched right row travels as ONE struct carried by ONE
+    # last(ignorenulls): per-column carries would let a NULL payload field
+    # inherit a value from an OLDER right row — a frankenrow mixing two
+    # matches (and leaking values past the tolerance gate)
+    rstruct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(src).alias(f"__p_{dst}") for dst, src in payload.items()],
     )
     rhs = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(right_tie).alias("__tie"),
-        *[F.col(src).alias(f"__p_{dst}") for dst, src in payload.items()],
-        F.col(right_ts).alias("__rts"),
-        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        rstruct.alias("__r"),
+    )
+    lhs = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_tie].dataType).alias("__tie"),
+        F.lit(None).cast(rhs.schema["__r"].dataType).alias("__r"),
+        F.struct(
+            *([F.col(c) for c in left_extra] or [F.lit(0).alias("__none")])
+        ).alias("__l"),
+    )
+    rhs = rhs.select(
+        "*", F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l")
     )
     win = (
         Window.partitionBy(*on)
@@ -83,28 +88,25 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lhs.unionByName(rhs).select(
-        "*",
-        F.last("__rts", ignorenulls=True).over(win).alias("__mts"),
-        *[
-            F.last(f"__p_{dst}", ignorenulls=True).over(win).alias(f"__m_{dst}")
-            for dst in out_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(win).alias("__m")
     )
-    in_window = F.col("__mts").isNotNull()
+    in_window = F.col("__m").isNotNull()
     if tolerance_seconds is not None:
         # interval arithmetic, not epoch-double subtraction: timestamp
         # microseconds stay exact integers, so the boundary is crisp
+        # (:f formatting — scientific notation does not parse as INTERVAL)
         in_window = in_window & (
-            F.col("__mts")
-            >= F.col("__ts") - F.expr(f"INTERVAL '{tolerance_seconds}' SECOND")
+            F.col("__m.__rts")
+            >= F.col("__ts")
+            - F.expr(f"INTERVAL '{float(tolerance_seconds):f}' SECOND")
         )
     return merged.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l.{c}").alias(c) for c in left_extra],
-        F.when(in_window, F.col("__mts")).alias(matched_ts_col),
+        F.when(in_window, F.col("__m.__rts")).alias(matched_ts_col),
         *[
-            F.when(in_window, F.col(f"__m_{dst}")).alias(dst)
+            F.when(in_window, F.col(f"__m.__p_{dst}")).alias(dst)
             for dst in out_cols
         ],
     )

@@ -39,10 +39,14 @@ def bcubed(
     the contingency table against the marginal size tables — each at most
     #clusters rows, never #items² — then a 1-row global rollup. No per-item
     state survives the first aggregation.
+
+    Items with a NULL label on either side are excluded up front (both this
+    metric and :func:`pairwise_clustering` apply the same filter, so their
+    ``n_items`` always agree on the same frame).
     """
     it = items.select(
         F.col(sys_col).alias("__c"), F.col(gold_col).alias("__g")
-    )
+    ).filter(F.col("__c").isNotNull() & F.col("__g").isNotNull())
     cg = it.groupBy("__c", "__g").agg(F.count("*").alias("n_cg"))
     cs = it.groupBy("__c").agg(F.count("*").alias("n_c"))
     gs = it.groupBy("__g").agg(F.count("*").alias("n_g"))
@@ -81,15 +85,17 @@ def pairwise_clustering(
     system pairs = Σ_c C(n_c, 2), gold pairs = Σ_g C(n_g, 2) — three hash
     aggregations over the item table, a 1-row rollup, and never a pair
     table (the n² pair space is summarized by the contingency counts).
+    NULL-labeled items are excluded, matching :func:`bcubed`.
     """
     it = items.select(
         F.col(sys_col).alias("__c"), F.col(gold_col).alias("__g")
-    )
+    ).filter(F.col("__c").isNotNull() & F.col("__g").isNotNull())
 
     def c2(col):
-        # cast each C(n,2) to long BEFORE summing: the sum stays integer
-        # arithmetic in the engine (no float accumulation to worry about)
-        return F.sum((F.col(col) * (F.col(col) - 1) / 2).cast("long")).cast("long")
+        # integer `div`, not float `/`-then-cast: n(n−1)/2 above 2^53
+        # (n ≈ 1.35e8 — inside the advertised regime) would lose low bits
+        # in the double before truncation
+        return F.sum(F.expr(f"{col} * ({col} - 1) div 2")).cast("long")
 
     tp = (
         it.groupBy("__c", "__g")

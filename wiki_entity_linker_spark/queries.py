@@ -3114,20 +3114,11 @@ def _bcubed_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
        FROM agg"""
 
 
-@q("bcubed_eval", _bcubed_oracle(16, 8, 3, 0.3))
-def bcubed_eval(spark, sf_dir):
-    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the flagship
-    LSH near-dup clustering against a deterministic attribute gold
-    (source × 100-char length bucket) — the standard ER clustering metric
-    the reference never computes because it evaluates per-mention linking
-    only (its evaluate.py stops at TP/FP/FN cases).
-
-    Scale shape: the clustering is the flagship path; the metric itself is
-    three hash aggregations + two cluster-cardinality joins + a 1-row
-    rollup (operators/er_metrics.bcubed) — no per-item pass survives the
-    first groupBy."""
-    from wiki_entity_linker_spark.operators.er_metrics import bcubed
-
+def _flagship_gold_items(spark, sf_dir):
+    """Shared input of the two clustering-evaluation queries: the flagship
+    LSH clustering joined to the deterministic attribute gold
+    (source × 100-char length bucket) — one definition so a banding or
+    bucketing tweak can never skew one metric and not the other."""
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_neardup_pairs(
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
@@ -3144,8 +3135,24 @@ def bcubed_eval(spark, sf_dir):
             "|", F.col("source"), F.expr("CAST(n_chars div 100 AS STRING)")
         ).alias("gold"),
     )
-    items = comp.join(gold, comp["id"] == gold["doc_id"])
-    return bcubed(items, "component", "gold")
+    return comp.join(gold, comp["id"] == gold["doc_id"])
+
+
+@q("bcubed_eval", _bcubed_oracle(16, 8, 3, 0.3))
+def bcubed_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the flagship
+    LSH near-dup clustering against a deterministic attribute gold
+    (source × 100-char length bucket) — the standard ER clustering metric
+    the reference never computes because it evaluates per-mention linking
+    only (its evaluate.py stops at TP/FP/FN cases).
+
+    Scale shape: the clustering is the flagship path; the metric itself is
+    three hash aggregations + two cluster-cardinality joins + a 1-row
+    rollup (operators/er_metrics.bcubed) — no per-item pass survives the
+    first groupBy."""
+    from wiki_entity_linker_spark.operators.er_metrics import bcubed
+
+    return bcubed(_flagship_gold_items(spark, sf_dir), "component", "gold")
 
 
 def _pairwise_cluster_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
@@ -3158,12 +3165,12 @@ def _pairwise_cluster_oracle(n_hashes: int, bands: int, k: int, thr: float) -> s
                 d.source || '|' || CAST(d.n_chars // 100 AS VARCHAR) AS g
          FROM ({_cc_oracle(n_hashes, bands, k, thr)}) s
          JOIN documents d ON d.doc_id = s.id),
-       tp AS (SELECT CAST(sum(CAST(n_cg * (n_cg - 1) / 2 AS BIGINT)) AS BIGINT) AS tp,
+       tp AS (SELECT CAST(sum((n_cg * (n_cg - 1)) // 2) AS BIGINT) AS tp,
                      CAST(sum(n_cg) AS BIGINT) AS n_items
               FROM (SELECT count(*) AS n_cg FROM items GROUP BY c, g)),
-       sp AS (SELECT CAST(sum(CAST(n_c * (n_c - 1) / 2 AS BIGINT)) AS BIGINT) AS sys_pairs
+       sp AS (SELECT CAST(sum((n_c * (n_c - 1)) // 2) AS BIGINT) AS sys_pairs
               FROM (SELECT count(*) AS n_c FROM items GROUP BY c)),
-       gp AS (SELECT CAST(sum(CAST(n_g * (n_g - 1) / 2 AS BIGINT)) AS BIGINT) AS gold_pairs
+       gp AS (SELECT CAST(sum((n_g * (n_g - 1)) // 2) AS BIGINT) AS gold_pairs
               FROM (SELECT count(*) AS n_g FROM items GROUP BY g))
        SELECT n_items, tp, sys_pairs, gold_pairs,
               round(tp / CAST(sys_pairs AS DOUBLE), 6) AS pair_precision,
@@ -3186,24 +3193,9 @@ def pairwise_cluster_eval(spark, sf_dir):
     table — word-count cost at any corpus size."""
     from wiki_entity_linker_spark.operators.er_metrics import pairwise_clustering
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs(
-        d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
-        jaccard_threshold=0.3,
-    ).select("id_a", "id_b")
-    nodes = d.select(F.col("doc_id").alias("file_id"))
-    comp = components_with_singletons(
-        nodes, pairs, id_col="file_id", shuffle_partitions=8,
-        local_solve_threshold=500_000,
+    return pairwise_clustering(
+        _flagship_gold_items(spark, sf_dir), "component", "gold"
     )
-    gold = d.select(
-        "doc_id",
-        F.concat_ws(
-            "|", F.col("source"), F.expr("CAST(n_chars div 100 AS STRING)")
-        ).alias("gold"),
-    )
-    items = comp.join(gold, comp["id"] == gold["doc_id"])
-    return pairwise_clustering(items, "component", "gold")
 
 
 def _blocking_quality_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
@@ -3332,27 +3324,26 @@ def embedding_quantization(spark, sf_dir):
     "asof_join_events",
     """WITH u AS (
          SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie,
-                NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val,
-                NULL::TIMESTAMP AS rts, event_id
+                CAST(NULL AS STRUCT(rts TIMESTAMP, p_id BIGINT,
+                                    p_val DOUBLE)) AS r,
+                event_id
          FROM events WHERE event_type = 'purchase'
          UNION ALL
-         SELECT user_id, ts, 0, event_id, event_id, value, ts, NULL::BIGINT
+         SELECT user_id, ts, 0, event_id,
+                {'rts': ts, 'p_id': event_id, 'p_val': value}, NULL::BIGINT
          FROM events WHERE event_type = 'view'),
-       w AS (SELECT *,
-               last_value(rts IGNORE NULLS) OVER win AS mts,
-               last_value(p_id IGNORE NULLS) OVER win AS m_id,
-               last_value(p_val IGNORE NULLS) OVER win AS m_val
+       w AS (SELECT *, last_value(r IGNORE NULLS) OVER win AS m
              FROM u
              WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW))
        SELECT event_id, user_id, ts,
-              CASE WHEN mts IS NOT NULL AND mts >= ts - INTERVAL 48 HOURS
-                   THEN mts END AS matched_ts,
-              CASE WHEN mts IS NOT NULL AND mts >= ts - INTERVAL 48 HOURS
-                   THEN m_id END AS view_event_id,
-              CASE WHEN mts IS NOT NULL AND mts >= ts - INTERVAL 48 HOURS
-                   THEN round(m_val, 6) END AS view_value
+              CASE WHEN m IS NOT NULL AND m.rts >= ts - INTERVAL 48 HOURS
+                   THEN m.rts END AS matched_ts,
+              CASE WHEN m IS NOT NULL AND m.rts >= ts - INTERVAL 48 HOURS
+                   THEN m.p_id END AS view_event_id,
+              CASE WHEN m IS NOT NULL AND m.rts >= ts - INTERVAL 48 HOURS
+                   THEN round(m.p_val, 6) END AS view_value
        FROM w WHERE side = 1""",
 )
 def asof_join_events(spark, sf_dir):
@@ -3447,7 +3438,7 @@ def triangle_clustering(spark, sf_dir):
        bb AS (SELECT val, length(format('{:b}', val)) - 1 AS b FROM v),
        binned AS (SELECT val,
          CASE WHEN val < 16 THEN val
-              ELSE b * 8 + (val // CAST(power(2, b - 3) AS BIGINT)) % 8
+              ELSE b * 8 + (val // (1::BIGINT << (b - 3))) % 8
               END AS bin
          FROM bb),
        hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c
@@ -3463,10 +3454,10 @@ def triangle_clustering(spark, sf_dir):
                FROM qs CROSS JOIN cum GROUP BY 1),
        dec AS (SELECT q, n_items, bin,
          CASE WHEN bin < 16 THEN bin
-              ELSE (8 + bin % 8) * CAST(power(2, bin // 8 - 3) AS BIGINT)
+              ELSE (8 + bin % 8) * (1::BIGINT << (bin // 8 - 3))
               END AS sketch_lb,
          CASE WHEN bin < 16 THEN 1
-              ELSE CAST(power(2, bin // 8 - 3) AS BIGINT) END AS width
+              ELSE 1::BIGINT << (bin // 8 - 3) END AS width
          FROM est),
        vh AS (SELECT val, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
        vc AS (SELECT val,
@@ -3496,11 +3487,14 @@ def quantile_sketch(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     v = d.filter(F.col("n_chars") > 0).select(F.col("n_chars").alias("val"))
     b = F.length(F.conv(F.col("val").cast("string"), 10, 2)) - 1
-    p = F.pow(F.lit(2.0), (b - 3).cast("double")).cast("long")
+    # integer mantissa extraction: shiftright (column shift amount needs
+    # call_function), NOT float division — val ≥ 2^53 would round in the
+    # double and land in the wrong bin, breaking the bit-exact claim
+    mant = F.call_function("shiftright", F.col("val"), (b - 3).cast("int"))
     binned = v.select(
         "val",
         F.when(F.col("val") < 16, F.col("val"))
-        .otherwise((b * 8 + (F.col("val") / p).cast("long") % 8).cast("long"))
+        .otherwise((b * 8 + mant % 8).cast("long"))
         .alias("bin"),
     )
     hist = binned.groupBy("bin").agg(F.count("*").cast("long").alias("c"))
@@ -3529,7 +3523,9 @@ def quantile_sketch(spark, sf_dir):
         )
     )
     eb = F.col("bin")
-    lb_p = F.pow(F.lit(2.0), ((eb / 8).cast("long") - 3).cast("double")).cast("long")
+    lb_p = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.shiftright(eb, 3) - 3).cast("int")
+    )
     dec = est.select(
         "q",
         "n_items",
