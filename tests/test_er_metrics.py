@@ -170,3 +170,50 @@ def test_pairwise_vs_bcubed_divergence_on_skew(spark):
     assert bc["bcubed_precision"] == pytest.approx(exp_b3, abs=1e-6)
     assert pw["pair_precision"] != bc["bcubed_precision"]
     assert pw["pair_recall"] == 1.0 and bc["bcubed_recall"] == 1.0
+
+
+def test_kcore_hand_graphs(spark):
+    from wiki_entity_linker_spark.operators.graph import k_core
+
+    # triangle + tail: 2-core = the triangle, each with in-core degree 2
+    g = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    out = {r["node"]: r["degree_in_core"] for r in k_core(
+        spark.createDataFrame(g, ["id_a", "id_b"]), k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+    # pure path: 2-core is empty (peels one end per round — exercises
+    # multi-round convergence)
+    path = [(i, i + 1) for i in range(8)]
+    assert k_core(spark.createDataFrame(path, ["id_a", "id_b"]), k=2).count() == 0
+
+    # K5: 4-core keeps everything, 5-core empties
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5df = spark.createDataFrame(k5, ["id_a", "id_b"])
+    assert k_core(k5df, k=4).count() == 5
+    assert k_core(k5df, k=5).count() == 0
+
+
+def test_kcore_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from wiki_entity_linker_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(12)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        k_core(spark.createDataFrame(path, ["id_a", "id_b"]), k=2, max_rounds=2)
+
+
+def test_kcore_convergence_rounds(spark, sf0001):
+    # the oracle unrolls 8 peel rounds; pin that the registered graph/SF
+    # converges well inside that (4 rounds at sf0.001) so the unroll bound
+    # can never silently under-peel
+    from wiki_entity_linker_spark.operators.graph import k_core
+    from wiki_entity_linker_spark.operators.dedup import embedding_neardup_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    edges = embedding_neardup_lsh_pairs(
+        emb, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.2,
+        n_planes=6, n_tables=3, max_bucket=256,
+    ).select("id_a", "id_b")
+    out = k_core(edges, k=2, max_rounds=8)
+    assert out.count() > 0  # non-trivial core, converged within the bound

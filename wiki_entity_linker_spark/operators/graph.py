@@ -186,3 +186,74 @@ def triangle_counts(
         t.alias("triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 200,
+    mgr=None,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph with min induced degree ≥ k)
+    of the undirected graph of canonical edges, with their in-core degree —
+    the density primitive that separates a cluster's cohesive core from
+    peeled-off periphery (Seidman 1983), complementing triangle_counts.
+
+    Iterative peeling as a DataFrame fixpoint (same loop discipline as
+    connected_components): each round recomputes induced degrees with two
+    semi-joins of the edge list against the surviving node set and drops
+    nodes under k; per-round ``_cut`` truncates lineage, convergence is an
+    exact count comparison, and exceeding ``max_rounds`` raises LOUDLY
+    rather than returning a half-peeled set (a path graph peels one node
+    per round, so adversarial chains need the bound). Each round shuffles
+    only the surviving edge set — the work SHRINKS monotonically, the
+    opposite of closure's doubling.
+    """
+    und = _cut(
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .unionByName(
+            edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        ),
+        mgr,
+        "kcore_und",
+    )
+    alive = und.select(F.col("u").alias("id")).distinct()
+    alive = _cut(alive, mgr, "kcore_alive_0")
+    n_alive = alive.count()
+    for r in range(1, max_rounds + 1):
+        surv = (
+            und.join(alive.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi")
+        )
+        nxt = (
+            surv.groupBy("u")
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select(F.col("u").alias("id"))
+        )
+        nxt = _cut(nxt, mgr, f"kcore_alive_{r}")
+        n_next = nxt.count()
+        if n_next == n_alive:
+            alive = nxt
+            break
+        alive, n_alive = nxt, n_next
+        if n_alive == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within {max_rounds} peel rounds "
+            f"({n_alive} nodes still alive) — raise max_rounds"
+        )
+    core_edges = (
+        und.join(alive.withColumnRenamed("id", "u"), "u", "left_semi")
+        .join(alive.withColumnRenamed("id", "v"), "v", "left_semi")
+    )
+    return core_edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("degree_in_core")
+    )

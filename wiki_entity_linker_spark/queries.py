@@ -3566,6 +3566,60 @@ def quantile_sketch(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int, unroll: int) -> str:
+    """Unrolled peeling (the pagerank-oracle discipline: a fixed number of
+    SQL rounds stands in for the fixpoint loop): each round keeps nodes
+    whose INDUCED degree ≥ k. The peel at this graph/SF converges in ≤4
+    rounds (pinned in test_kcore_convergence_rounds), so ``unroll`` rounds
+    reproduce the fixpoint exactly — extra rounds are no-ops."""
+    edges = _neardup_lsh_oracle(
+        dim=64, thr=0.2, n_planes=6, n_tables=3, max_bucket=256
+    )
+    rounds = []
+    for i in range(1, unroll + 1):
+        # MATERIALIZED: each round references the previous one TWICE —
+        # DuckDB inlines plain CTEs, which would re-evaluate the LSH edge
+        # subquery 2^unroll times
+        rounds.append(
+            f"""a{i} AS MATERIALIZED (SELECT e.u AS id FROM und e
+               JOIN a{i - 1} x ON e.u = x.id
+               JOIN a{i - 1} y ON e.v = y.id
+               GROUP BY 1 HAVING count(*) >= {k})"""
+        )
+    rounds_sql = ",\n       ".join(rounds)
+    return f"""
+       WITH e0 AS MATERIALIZED (SELECT id_a, id_b FROM ({edges})),
+       und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM e0
+               UNION SELECT id_b, id_a FROM e0),
+       a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+       {rounds_sql}
+       SELECT e.u AS node, CAST(count(*) AS BIGINT) AS degree_in_core
+       FROM und e
+       JOIN a{unroll} x ON e.u = x.id
+       JOIN a{unroll} y ON e.v = y.id
+       GROUP BY 1"""
+
+
+@q("kcore_dense", _kcore_oracle(2, 8))
+def kcore_dense(spark, sf_dir):
+    """2-core of the embedding near-dup graph: the maximal subgraph where
+    every surviving node keeps ≥2 in-core neighbors (Seidman 1983) — the
+    density primitive that peels chain-of-borderline-match periphery off
+    cohesive duplicate cores before anything is merged or deleted
+    (complements triangle_clustering's per-node cohesion). Iterative
+    DataFrame peeling with per-round lineage cuts and a LOUD
+    non-convergence bound (operators/graph.k_core); each round shuffles
+    only the monotonically SHRINKING survivor set."""
+    from wiki_entity_linker_spark.operators.graph import k_core
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_lsh_pairs(
+        emb, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.2,
+        n_planes=6, n_tables=3, max_bucket=256,
+    ).select("id_a", "id_b")
+    return k_core(edges, k=2)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
