@@ -181,3 +181,41 @@ def test_streaming_first_seen_survives_restart(spark, tmp_path):
         assert emitted() == {("A", "f1"), ("B", "f2"), ("D", "f4")}
     finally:
         q2.stop()
+
+
+def test_session_window_stream_equals_batch(spark, sf0001, tmp_path):
+    """Native gap-based session windows (the streaming-capable form of the
+    batch sessionize query): identical results on the same data whether it
+    arrives as a batch frame or as an availableNow stream."""
+    import shutil
+
+    from wiki_entity_linker_spark.streaming.events import session_event_counts
+
+    events_path = os.path.join(sf0001, "events.parquet")
+    batch = spark.read.parquet(events_path)
+    want = {
+        (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+        for r in session_event_counts(batch).collect()
+    }
+    assert len(want) > 0
+    # sessions must actually merge events (fewer sessions than events)
+    assert len(want) < batch.count()
+
+    stream_dir = str(tmp_path / "events_sessions")
+    os.makedirs(stream_dir)
+    shutil.copy(events_path, os.path.join(stream_dir, "part-000.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    q = (
+        session_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == want

@@ -46,6 +46,33 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user SESSION windows (gap-based, not fixed-width): Spark's
+    native ``session_window`` merges events into a session while gaps stay
+    under ``gap`` — the streaming-capable form of the batch ``sessionize``
+    query (lag + cumulative-gap window), and the state the engine keeps is
+    per-OPEN-session, bounded by the watermark, not per-event. Works on
+    batch and streaming frames with the same plan.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def incremental_block_stream(
     spark: SparkSession,
     source_glob: str,
