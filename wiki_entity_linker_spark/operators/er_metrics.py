@@ -181,3 +181,69 @@ def blocking_quality(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def fellegi_sunter_weights(
+    labeled_pairs: DataFrame,
+    feature_cols: list[str],
+    match_col: str = "is_match",
+    precision_digits: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter (1969) match/non-match weights per agreement feature
+    — THE classical probabilistic record-linkage scoring model: for each
+    comparison feature i, m_i = P(agree | match), u_i = P(agree | unmatch),
+    and a pair's score is Σ log2(m/u) over agreeing features plus
+    Σ log2((1−m)/(1−u)) over disagreeing ones. This estimates the weights
+    from a labeled (or pseudo-labeled) pair table.
+
+    ``labeled_pairs``: one row per candidate pair with boolean
+    ``feature_cols`` (agreement indicators) and boolean ``match_col``.
+    Returns one row per feature with counts, Laplace-smoothed m/u
+    probabilities ((a+1)/(n+2) — never 0 or 1, so the log weights are
+    always finite) and the agree/disagree log2 weights.
+
+    Scale shape: one explode to (feature, agree, is_match) triples and one
+    combinable groupBy(feature) — #features output rows regardless of how
+    many pairs were labeled; nothing pair-sized survives the aggregation.
+    """
+    stacked = labeled_pairs.select(
+        F.col(match_col).alias("__m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.col(name).alias("agree"),
+                    )
+                    for name in feature_cols
+                ]
+            )
+        ).alias("f"),
+    ).select("__m", F.col("f.feature").alias("feature"), F.col("f.agree").alias("agree"))
+    agg = stacked.groupBy("feature").agg(
+        F.sum(F.when(F.col("__m") & F.col("agree"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match_agree"),
+        F.sum(F.when(F.col("__m"), 1).otherwise(0)).cast("long").alias("n_match"),
+        F.sum(F.when(~F.col("__m") & F.col("agree"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatch_agree"),
+        F.sum(F.when(~F.col("__m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatch"),
+    )
+    m = (F.col("n_match_agree") + 1) / (F.col("n_match") + 2).cast("double")
+    u = (F.col("n_unmatch_agree") + 1) / (F.col("n_unmatch") + 2).cast("double")
+    return agg.select(
+        "feature",
+        "n_match_agree",
+        "n_match",
+        "n_unmatch_agree",
+        "n_unmatch",
+        F.round(m, precision_digits).alias("m_prob"),
+        F.round(u, precision_digits).alias("u_prob"),
+        F.round(F.log2(m / u), precision_digits).alias("agree_weight"),
+        F.round(F.log2((1 - m) / (1 - u)), precision_digits).alias(
+            "disagree_weight"
+        ),
+    )

