@@ -247,3 +247,53 @@ def fellegi_sunter_weights(
             "disagree_weight"
         ),
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str],
+    pair_cols: list[str],
+    precision_digits: int = 6,
+) -> DataFrame:
+    """Apply estimated Fellegi–Sunter weights to candidate pairs: each
+    pair's score is the sum over features of the agree weight when the
+    feature agrees, else the disagree weight; match iff score > 0 (the
+    decision-rule threshold at even prior odds).
+
+    ``weights``: the frame produced by :func:`fellegi_sunter_weights`
+    (feature-count rows — broadcast). One explode + one broadcast join +
+    one groupBy over the pair keys; the summed terms are the ROUNDED
+    weights, so the score is a deterministic function of the published
+    model, not of unrounded internals.
+    """
+    stacked = pairs.select(
+        *pair_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.col(name).alias("agree"),
+                    )
+                    for name in feature_cols
+                ]
+            )
+        ).alias("f"),
+    ).select(*pair_cols, F.col("f.feature").alias("feature"), F.col("f.agree").alias("agree"))
+    w = F.broadcast(
+        weights.select("feature", "agree_weight", "disagree_weight")
+    )
+    term = F.when(F.col("agree"), F.col("agree_weight")).otherwise(
+        F.col("disagree_weight")
+    )
+    return (
+        stacked.join(w, "feature")
+        .groupBy(*pair_cols)
+        .agg(F.round(F.sum(term), precision_digits).alias("fs_score"))
+        .select(
+            *pair_cols,
+            "fs_score",
+            (F.col("fs_score") > 0).alias("fs_match"),
+        )
+    )

@@ -3620,10 +3620,33 @@ def kcore_dense(spark, sf_dir):
     return k_core(edges, k=2)
 
 
-def _fellegi_sunter_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str:
+def _fellegi_sunter_oracle(
+    n_hashes: int, bands: int, k: int, thr: float, mode: str = "weights"
+) -> str:
     """Band-collision candidate pairs pseudo-labeled by exact shingle
     Jaccard, agreement features from the document attributes, then the
-    feature-level m/u estimation with Laplace smoothing."""
+    feature-level m/u estimation with Laplace smoothing. ``mode="weights"``
+    emits the per-feature model; ``mode="scores"`` applies the ROUNDED
+    weights back to every pair (sum of agree/disagree terms, match iff
+    score > 0)."""
+    if mode == "weights":
+        final = """SELECT feature, n_match_agree, n_match, n_unmatch_agree,
+              n_unmatch, m_prob, u_prob, agree_weight, disagree_weight
+       FROM wts"""
+    else:
+        final = """, stacked AS (
+         SELECT id_a, id_b, is_match, f.name AS feature, f.agree
+         FROM feat, LATERAL (VALUES ('f_source', f_source),
+                                    ('f_lang', f_lang),
+                                    ('f_len', f_len)) AS f(name, agree)),
+       scored AS (
+         SELECT id_a, id_b, is_match,
+                round(sum(CASE WHEN agree THEN agree_weight
+                               ELSE disagree_weight END), 6) AS fs_score
+         FROM stacked JOIN wts USING (feature)
+         GROUP BY 1, 2, 3)
+       SELECT id_a, id_b, is_match, fs_score, fs_score > 0 AS fs_match
+       FROM scored"""
     rows = n_hashes // bands
     mixes = ",\n              ".join(
         f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
@@ -3650,7 +3673,7 @@ def _fellegi_sunter_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str
          JOIN shl ga ON ga.doc_id = a.doc_id
          JOIN shl gb ON gb.doc_id = b.doc_id),
        feat AS (
-         SELECT c.is_match,
+         SELECT c.id_a, c.id_b, c.is_match,
            (da.source = db.source) AS f_source,
            (da.lang = db.lang) AS f_lang,
            (da.n_chars // 100 = db.n_chars // 100) AS f_len
@@ -3669,8 +3692,9 @@ def _fellegi_sunter_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str
          FROM feat, LATERAL (VALUES ('f_source', f_source),
                                     ('f_lang', f_lang),
                                     ('f_len', f_len)) AS f(name, agree)
-         GROUP BY 1)
-       SELECT feature, n_match_agree, n_match, n_unmatch_agree, n_unmatch,
+         GROUP BY 1),
+       wts AS (SELECT feature, n_match_agree, n_match, n_unmatch_agree,
+                      n_unmatch,
          round((n_match_agree + 1) / CAST(n_match + 2 AS DOUBLE), 6)
            AS m_prob,
          round((n_unmatch_agree + 1) / CAST(n_unmatch + 2 AS DOUBLE), 6)
@@ -3682,7 +3706,8 @@ def _fellegi_sunter_oracle(n_hashes: int, bands: int, k: int, thr: float) -> str
                     (1 - (n_unmatch_agree + 1)
                          / CAST(n_unmatch + 2 AS DOUBLE))), 6)
            AS disagree_weight
-       FROM agg"""
+       FROM agg)
+       {final}"""
 
 
 @q("fellegi_sunter_model", _fellegi_sunter_oracle(16, 8, 3, 0.3))
@@ -3699,14 +3724,24 @@ def fellegi_sunter_model(spark, sf_dir):
     length feature dominates (agree_weight ≈ +2.9) while source/lang are
     near-noise — exactly what an FS model should discover about near-dup
     text."""
+    from wiki_entity_linker_spark.operators.er_metrics import (
+        fellegi_sunter_weights,
+    )
+
+    feat = _fs_labeled_feature_pairs(spark, sf_dir)
+    return fellegi_sunter_weights(feat, ["f_source", "f_lang", "f_len"])
+
+
+def _fs_labeled_feature_pairs(spark, sf_dir):
+    """Shared input of the two Fellegi–Sunter queries: band candidate
+    pairs pseudo-labeled by exact shingle Jaccard, with the three boolean
+    agreement features attached — one definition so the estimation and the
+    scoring can never drift apart."""
     from wiki_entity_linker_spark.functions.similarity import token_jaccard
     from wiki_entity_linker_spark.operators.blocking import (
         lsh_band_blocks,
         minhash_from_shingles,
         pairs_from_blocks,
-    )
-    from wiki_entity_linker_spark.operators.er_metrics import (
-        fellegi_sunter_weights,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -3739,17 +3774,40 @@ def fellegi_sunter_model(spark, sf_dir):
         F.col("lang").alias("lang_b"),
         F.expr("n_chars div 100").alias("len_b"),
     )
-    feat = (
+    return (
         labeled.join(da, "id_a")
         .join(db, "id_b")
         .select(
+            "id_a",
+            "id_b",
             "is_match",
             (F.col("src_a") == F.col("src_b")).alias("f_source"),
             (F.col("lang_a") == F.col("lang_b")).alias("f_lang"),
             (F.col("len_a") == F.col("len_b")).alias("f_len"),
         )
     )
-    return fellegi_sunter_weights(feat, ["f_source", "f_lang", "f_len"])
+
+
+@q("fellegi_sunter_scores", _fellegi_sunter_oracle(16, 8, 3, 0.3, mode="scores"))
+def fellegi_sunter_scores(spark, sf_dir):
+    """The apply half of the Fellegi–Sunter model: every band candidate
+    pair scored with the weights fellegi_sunter_model estimates (agree →
+    agree_weight, disagree → disagree_weight, summed; match iff score > 0,
+    the decision rule at even prior odds), next to its Jaccard pseudo-label
+    for inspection. The score sums the PUBLISHED (rounded) weights, so it
+    is a deterministic function of the model, and the weight table is
+    feature-count rows — broadcast, never shuffled
+    (operators/er_metrics.fellegi_sunter_score)."""
+    from wiki_entity_linker_spark.operators.er_metrics import (
+        fellegi_sunter_score,
+        fellegi_sunter_weights,
+    )
+
+    feat = _fs_labeled_feature_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    w = fellegi_sunter_weights(feat, ["f_source", "f_lang", "f_len"])
+    return fellegi_sunter_score(
+        feat, w, ["f_source", "f_lang", "f_len"], ["id_a", "id_b", "is_match"]
+    )
 
 
 def queries() -> dict[str, QueryFn]:
