@@ -3634,7 +3634,7 @@ def _fellegi_sunter_oracle(
               n_unmatch, m_prob, u_prob, agree_weight, disagree_weight
        FROM wts"""
     else:
-        final = """, stacked AS (
+        scoring_ctes = """, stacked AS (
          SELECT id_a, id_b, is_match, f.name AS feature, f.agree
          FROM feat, LATERAL (VALUES ('f_source', f_source),
                                     ('f_lang', f_lang),
@@ -3644,9 +3644,31 @@ def _fellegi_sunter_oracle(
                 round(sum(CASE WHEN agree THEN agree_weight
                                ELSE disagree_weight END), 6) AS fs_score
          FROM stacked JOIN wts USING (feature)
-         GROUP BY 1, 2, 3)
+         GROUP BY 1, 2, 3)"""
+        if mode == "scores":
+            final = scoring_ctes + """
        SELECT id_a, id_b, is_match, fs_score, fs_score > 0 AS fs_match
        FROM scored"""
+        else:  # sweep: P/R/F1 at every distinct score threshold
+            final = scoring_ctes + """,
+       byscore AS (SELECT fs_score,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_tp
+                   FROM scored GROUP BY 1),
+       cum AS (SELECT fs_score,
+                      sum(n) OVER w AS n_pred,
+                      sum(n_tp) OVER w AS tp,
+                      sum(n_tp) OVER () AS total_match
+               FROM byscore
+               WINDOW w AS (ORDER BY fs_score DESC
+                            ROWS UNBOUNDED PRECEDING))
+       SELECT fs_score AS threshold,
+              CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+              round(tp / CAST(n_pred AS DOUBLE), 6) AS precision,
+              round(tp / CAST(total_match AS DOUBLE), 6) AS recall,
+              round(2 * tp / CAST(n_pred + total_match AS DOUBLE), 6) AS f1
+       FROM cum"""
     rows = n_hashes // bands
     mixes = ",\n              ".join(
         f"min({mh_mix_sql('hs', a, b)}) AS mh{i}"
@@ -3807,6 +3829,58 @@ def fellegi_sunter_scores(spark, sf_dir):
     w = fellegi_sunter_weights(feat, ["f_source", "f_lang", "f_len"])
     return fellegi_sunter_score(
         feat, w, ["f_source", "f_lang", "f_len"], ["id_a", "id_b", "is_match"]
+    )
+
+
+@q("fs_threshold_sweep", _fellegi_sunter_oracle(16, 8, 3, 0.3, mode="sweep"))
+def fs_threshold_sweep(spark, sf_dir):
+    """Operating-point selection for the Fellegi–Sunter scorer: the full
+    precision/recall/F1 curve over every distinct score threshold (predict
+    match iff score ≥ t), computed from ONE pass — scores collapse to a
+    per-score frame (≤2^#features rows: 3 binary features → ≤8 operating
+    points), cumulative TP/predicted counts come from a window over that
+    tiny frame, never the pair table. F1 = 2TP/(pred+actual) keeps the
+    arithmetic integer until the final rounded ratios. This is how a
+    linkage deployment picks its threshold; the sweep costs the same as
+    the scoring itself at any corpus size."""
+    from wiki_entity_linker_spark.operators.er_metrics import (
+        fellegi_sunter_score,
+        fellegi_sunter_weights,
+    )
+
+    feat = _fs_labeled_feature_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    w = fellegi_sunter_weights(feat, ["f_source", "f_lang", "f_len"])
+    scored = fellegi_sunter_score(
+        feat, w, ["f_source", "f_lang", "f_len"], ["id_a", "id_b", "is_match"]
+    )
+    byscore = scored.groupBy("fs_score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tp"),
+    )
+    wc = Window.orderBy(F.col("fs_score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy(F.col("fs_score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byscore.select(
+        "fs_score",
+        F.sum("n").over(wc).alias("n_pred"),
+        F.sum("n_tp").over(wc).alias("tp"),
+        F.sum("n_tp").over(wall).alias("total_match"),
+    )
+    return cum.select(
+        F.col("fs_score").alias("threshold"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(F.col("tp") / F.col("n_pred").cast("double"), 6).alias("precision"),
+        F.round(F.col("tp") / F.col("total_match").cast("double"), 6).alias("recall"),
+        F.round(
+            2 * F.col("tp") / (F.col("n_pred") + F.col("total_match")).cast("double"),
+            6,
+        ).alias("f1"),
     )
 
 
