@@ -217,3 +217,67 @@ def test_kcore_convergence_rounds(spark, sf0001):
     ).select("id_a", "id_b")
     out = k_core(edges, k=2, max_rounds=8)
     assert out.count() > 0  # non-trivial core, converged within the bound
+
+
+def _greedy_matching_ref(edges):
+    """Sequential greedy: scan edges by (score desc, ea, eb); take a pair
+    iff both endpoints are still free."""
+    taken, out = set(), []
+    for ea, eb, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        if ea not in taken and eb not in taken:
+            taken.update((ea, eb))
+            out.append((ea, eb, s))
+    return sorted(out)
+
+
+def test_locally_dominant_matching_equals_greedy(spark):
+    from wiki_entity_linker_spark.operators.graph import locally_dominant_matching
+
+    # chain with descending scores forces multiple rounds; add ties to
+    # exercise the deterministic (ea, eb) tie order
+    edges = [
+        (0, 1, 0.9), (1, 2, 0.8), (2, 3, 0.7), (3, 4, 0.6), (4, 5, 0.5),
+        (10, 11, 0.4), (10, 12, 0.4), (11, 12, 0.4),
+        (20, 21, 1.0), (21, 22, 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b", "score"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["score"])
+        for r in locally_dominant_matching(df).collect()
+    )
+    assert got == _greedy_matching_ref(edges)
+    # one-to-one: no node appears twice
+    nodes = [n for ea, eb, _ in got for n in (ea, eb)]
+    assert len(nodes) == len(set(nodes))
+
+
+def test_locally_dominant_matching_empty_and_bound(spark):
+    import pytest as _pytest
+
+    from wiki_entity_linker_spark.operators.graph import locally_dominant_matching
+
+    empty = spark.createDataFrame([], "id_a long, id_b long, score double")
+    assert locally_dominant_matching(empty).count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0 - i / 100) for i in range(10)],
+        ["id_a", "id_b", "score"],
+    )
+    with _pytest.raises(RuntimeError, match="did not drain"):
+        locally_dominant_matching(chain, max_rounds=1)
+
+
+def test_matching_convergence_rounds(spark, sf0001):
+    # the onetoone_matching oracle unrolls 5 rounds; pin that the
+    # registered pair graph drains within that bound
+    from wiki_entity_linker_spark.operators.dedup import minhash_neardup_pairs
+    from wiki_entity_linker_spark.operators.graph import locally_dominant_matching
+    from pyspark.sql import functions as _F
+
+    d = spark.read.parquet(f"{sf0001}/documents.parquet")
+    pairs = minhash_neardup_pairs(
+        d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
+        jaccard_threshold=0.3,
+    ).select("id_a", "id_b", _F.col("jaccard").alias("score"))
+    out = locally_dominant_matching(pairs, max_rounds=5)
+    assert out.count() > 0

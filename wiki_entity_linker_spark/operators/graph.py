@@ -257,3 +257,83 @@ def k_core(
     return core_edges.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("long").alias("degree_in_core")
     )
+
+
+def locally_dominant_matching(
+    scored_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "score",
+    max_rounds: int = 100,
+    mgr=None,
+) -> DataFrame:
+    """Distributed greedy one-to-one matching (Preis 1999 / locally
+    dominant edges): the assignment step of cross-database record linkage
+    — each record pairs with at most ONE partner, highest scores first.
+
+    Under the total order (score DESC, id_a ASC, id_b ASC) the result
+    equals the sequential greedy matching, computed in O(log) parallel
+    rounds instead of one driver-side sorted scan: per round every node
+    picks its best incident edge (one groupBy-argmax), an edge is matched
+    iff it is the best of BOTH endpoints (two semi-joins), matched nodes'
+    remaining edges drop (two anti-joins), repeat until no edges remain —
+    LOUD raise past ``max_rounds``. Returns the matched canonical pairs
+    with their score.
+    """
+    edges = scored_pairs.select(
+        F.col(id_a).alias("ea"), F.col(id_b).alias("eb"),
+        F.col(score_col).alias("s"),
+    ).filter(F.col("ea") != F.col("eb")).dropDuplicates(["ea", "eb"])
+    edges = _cut(edges, mgr, "ldm_edges_0")
+    matched = None
+    for r in range(1, max_rounds + 1):
+        if edges.isEmpty():
+            break
+        und = edges.select(
+            F.col("ea").alias("node"), "ea", "eb", "s"
+        ).unionByName(edges.select(F.col("eb").alias("node"), "ea", "eb", "s"))
+        # deterministic per-node argmax: max score, then min (ea, eb)
+        best = und.groupBy("node").agg(
+            F.max(F.struct(F.col("s"), (-F.col("ea")).alias("na"),
+                           (-F.col("eb")).alias("nb"))).alias("m")
+        ).select(
+            "node", F.col("m.s").alias("s"),
+            (-F.col("m.na")).alias("ea"), (-F.col("m.nb")).alias("eb"),
+        )
+        won = (
+            edges.join(
+                best.select(F.col("node").alias("ea"), "eb"), ["ea", "eb"],
+                "left_semi",
+            )
+            .join(
+                best.select("ea", F.col("node").alias("eb")), ["ea", "eb"],
+                "left_semi",
+            )
+        )
+        won = _cut(won, mgr, f"ldm_won_{r}")
+        if won.isEmpty():
+            # no locally dominant edge can only mean no edges remain;
+            # guarded by the isEmpty() check above, but stay loud
+            raise RuntimeError("locally_dominant_matching: stalled round")
+        matched = won if matched is None else matched.unionByName(won)
+        taken = won.select(F.col("ea").alias("node")).unionByName(
+            won.select(F.col("eb").alias("node"))
+        )
+        edges = (
+            edges.join(taken.withColumnRenamed("node", "ea"), "ea", "left_anti")
+            .join(taken.withColumnRenamed("node", "eb"), "eb", "left_anti")
+        )
+        edges = _cut(edges, mgr, f"ldm_edges_{r}")
+    else:
+        raise RuntimeError(
+            f"locally_dominant_matching did not drain within {max_rounds} "
+            "rounds — raise max_rounds"
+        )
+    if matched is None:
+        return scored_pairs.select(
+            F.col(id_a), F.col(id_b), F.col(score_col)
+        ).limit(0)
+    return matched.select(
+        F.col("ea").alias(id_a), F.col("eb").alias(id_b),
+        F.col("s").alias(score_col),
+    )

@@ -3884,6 +3884,68 @@ def fs_threshold_sweep(spark, sf_dir):
     )
 
 
+def _matching_oracle(unroll: int) -> str:
+    """Unrolled locally-dominant matching rounds over the verified MinHash
+    pair graph (converges in ≤2 rounds at these SFs, pinned by
+    test_matching_convergence_rounds; drained extra rounds are no-ops)."""
+    parts = [
+        f"e1 AS MATERIALIZED (SELECT id_a AS ea, id_b AS eb, jaccard AS s"
+        f" FROM ({_minhash_pairs_oracle(16, 8, 3, 0.3)}))"
+    ]
+    for r in range(1, unroll + 1):
+        parts.append(
+            f"""u{r} AS (SELECT ea AS node, ea, eb, s FROM e{r}
+               UNION ALL SELECT eb, ea, eb, s FROM e{r}),
+       b{r} AS MATERIALIZED (
+         SELECT node, ea, eb FROM (
+           SELECT node, ea, eb,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY s DESC, ea, eb) AS rn
+           FROM u{r}) WHERE rn = 1),
+       w{r} AS MATERIALIZED (
+         SELECT e.ea, e.eb, e.s FROM e{r} e
+         JOIN b{r} x ON x.node = e.ea AND x.ea = e.ea AND x.eb = e.eb
+         JOIN b{r} y ON y.node = e.eb AND y.ea = e.ea AND y.eb = e.eb),
+       t{r} AS (SELECT ea AS node FROM w{r}
+                UNION SELECT eb FROM w{r}),
+       e{r + 1} AS MATERIALIZED (
+         SELECT e.* FROM e{r} e
+         WHERE e.ea NOT IN (SELECT node FROM t{r})
+           AND e.eb NOT IN (SELECT node FROM t{r}))"""
+        )
+    unions = "\n         UNION ALL ".join(
+        f"SELECT ea, eb, s FROM w{r}" for r in range(1, unroll + 1)
+    )
+    joined = ",\n       ".join(parts)
+    return f"""
+       WITH {joined}
+       SELECT ea AS id_a, eb AS id_b, s AS score
+       FROM ({unions})"""
+
+
+@q("onetoone_matching", _matching_oracle(5))
+def onetoone_matching(spark, sf_dir):
+    """One-to-one duplicate assignment: each document pairs with at most
+    ONE partner, highest verified Jaccard first — the assignment step of
+    cross-database record linkage (connected components answers "which
+    records are the same entity"; matching answers "which A-record maps to
+    which B-record"). Distributed greedy via locally dominant edges
+    (Preis 1999): per round one groupBy-argmax + two semi-joins + two
+    anti-joins, O(log) rounds, equal to the sequential greedy under the
+    (score DESC, id) total order — no driver-side sorted scan
+    (operators/graph.locally_dominant_matching)."""
+    from wiki_entity_linker_spark.operators.graph import (
+        locally_dominant_matching,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(
+        d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
+        jaccard_threshold=0.3,
+    ).select("id_a", "id_b", F.col("jaccard").alias("score"))
+    return locally_dominant_matching(pairs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
