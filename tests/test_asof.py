@@ -123,3 +123,34 @@ def test_asof_fractional_tolerance_parses(spark):
         tolerance=1e-05,
     )
     assert got[100] == (None, None, None)  # 1s gap > 10µs tolerance
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    # a right row with NULL timestamp is not "a preceding row" — it must
+    # not be carried (the struct wrapper is non-null even when its fields
+    # are, so this pins the explicit gate)
+    left = spark.createDataFrame([(1, _ts(10), 100)], ["k", "lts", "lid"])
+    right = spark.createDataFrame(
+        [(1, None, 9, 0.5)], "k long, rts timestamp, rid long, val double"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_tie="rid", payload={"m_rid": "rid", "m_val": "val"},
+    ).collect()[0]
+    assert out["m_rid"] is None and out["matched_ts"] is None
+
+
+def test_asof_symmetrized_graph_inputs_and_drain_bound(spark):
+    # (companion coverage for the matching/graph review fixes lives in
+    # test_er_metrics; this pins that asof output rows == left rows even
+    # when rights duplicate)
+    left = spark.createDataFrame([(1, _ts(10), 100)], ["k", "lts", "lid"])
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7, 0.5), (1, _ts(5), 7, 0.5)],
+        ["k", "rts", "rid", "val"],
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_tie="rid", payload={"m_rid": "rid"},
+    )
+    assert out.count() == 1

@@ -203,14 +203,15 @@ def test_kcore_nonconvergence_raises(spark):
         k_core(spark.createDataFrame(path, ["id_a", "id_b"]), k=2, max_rounds=2)
 
 
-def test_kcore_convergence_rounds(spark, sf0001):
-    # the oracle unrolls 8 peel rounds; pin that the registered graph/SF
-    # converges well inside that (4 rounds at sf0.001) so the unroll bound
-    # can never silently under-peel
+@pytest.mark.parametrize("sf_fixture", ["sf0001", "sf001"])
+def test_kcore_convergence_rounds(spark, request, sf_fixture):
+    # the oracle unrolls 8 peel rounds; pin that the registered graph
+    # converges inside that at BOTH the test SF and the driver's sf0.01,
+    # so the unroll bound can never silently under-peel where it counts
     from wiki_entity_linker_spark.operators.graph import k_core
     from wiki_entity_linker_spark.operators.dedup import embedding_neardup_lsh_pairs
 
-    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    emb = spark.read.parquet(f"{request.getfixturevalue(sf_fixture)}/embeddings.parquet")
     edges = embedding_neardup_lsh_pairs(
         emb, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.2,
         n_planes=6, n_tables=3, max_bucket=256,
@@ -267,17 +268,49 @@ def test_locally_dominant_matching_empty_and_bound(spark):
         locally_dominant_matching(chain, max_rounds=1)
 
 
-def test_matching_convergence_rounds(spark, sf0001):
-    # the onetoone_matching oracle unrolls 5 rounds; pin that the
-    # registered pair graph drains within that bound
+@pytest.mark.parametrize("sf_fixture", ["sf0001", "sf001"])
+def test_matching_convergence_rounds(spark, request, sf_fixture):
+    # the onetoone_matching oracle unrolls 5 rounds; pin that the pair
+    # graph drains within that bound at BOTH the test SF and the driver's
     from wiki_entity_linker_spark.operators.dedup import minhash_neardup_pairs
     from wiki_entity_linker_spark.operators.graph import locally_dominant_matching
     from pyspark.sql import functions as _F
 
-    d = spark.read.parquet(f"{sf0001}/documents.parquet")
+    d = spark.read.parquet(f"{request.getfixturevalue(sf_fixture)}/documents.parquet")
     pairs = minhash_neardup_pairs(
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
         jaccard_threshold=0.3,
     ).select("id_a", "id_b", _F.col("jaccard").alias("score"))
     out = locally_dominant_matching(pairs, max_rounds=5)
     assert out.count() > 0
+
+
+def test_graph_ops_accept_symmetrized_edge_lists(spark):
+    # an input carrying BOTH orientations of each edge must not
+    # double-count degrees (dedup runs after the union)
+    from wiki_entity_linker_spark.operators.graph import k_core, triangle_counts
+
+    sym = spark.createDataFrame([(1, 2), (2, 1)], ["id_a", "id_b"])
+    assert k_core(sym, k=2).count() == 0  # a single edge has no 2-core
+    tc = {r["node"]: r for r in triangle_counts(sym).collect()}
+    assert tc[1]["degree"] == 1 and tc[2]["degree"] == 1
+
+
+def test_matching_drains_exactly_at_bound_and_max_score_dedup(spark):
+    from wiki_entity_linker_spark.operators.graph import locally_dominant_matching
+
+    # drains in exactly 1 round with max_rounds=1: must SUCCEED (the bound
+    # is loud PAST max_rounds, not at it)
+    one = spark.createDataFrame([(0, 1, 1.0)], ["id_a", "id_b", "score"])
+    assert locally_dominant_matching(one, max_rounds=1).count() == 1
+
+    # duplicate pair rows with different scores: the MAX must win so the
+    # greedy equivalence holds regardless of partitioning
+    dup = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 1, 0.5), (1, 2, 0.7)], ["id_a", "id_b", "score"]
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["score"])
+        for r in locally_dominant_matching(dup).collect()
+    )
+    assert got == [(0, 1, 0.9)]

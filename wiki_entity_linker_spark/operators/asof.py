@@ -58,9 +58,16 @@ def asof_join(
     # last(ignorenulls): per-column carries would let a NULL payload field
     # inherit a value from an OLDER right row — a frankenrow mixing two
     # matches (and leaking values past the tolerance gate)
-    rstruct = F.struct(
-        F.col(right_ts).alias("__rts"),
-        *[F.col(src).alias(f"__p_{dst}") for dst, src in payload.items()],
+    # a right row with NULL timestamp can never be "the nearest preceding
+    # row": its struct stays NULL so the ignorenulls carry skips it (the
+    # struct itself is non-null even when its fields are, so the gate must
+    # be here, not on the carried value)
+    rstruct = F.when(
+        F.col(right_ts).isNotNull(),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(src).alias(f"__p_{dst}") for dst, src in payload.items()],
+        ),
     )
     rhs = right.select(
         *[F.col(c) for c in on],

@@ -108,6 +108,20 @@ def pagerank_fixed_point(
     )
 
 
+def _undirected(edges, id_a: str, id_b: str):
+    """Both orientations of the edge list, deduplicated AFTER the union —
+    an input that already carries (a,b) AND (b,a) must not double-count
+    degrees (per-side dedup would let both survive)."""
+    return (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -129,18 +143,7 @@ def triangle_counts(
     list. Returns ``(node, degree, triangles, clustering_coeff)`` for every
     node in the edge set, coefficient = 2T / (d·(d−1)) (0.0 when d < 2).
     """
-    und = _cut(
-        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-        .unionByName(
-            edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .dropDuplicates(["u", "v"])
-        ),
-        mgr,
-        "tri_und",
-    )
+    und = _cut(_undirected(edges, id_a, id_b), mgr, "tri_und")
     deg = und.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
     # orient u→v iff (deg_u, u) < (deg_v, v): joins deg twice (node-sized
     # dimension; AQE broadcasts it when small, shuffles when not)
@@ -211,18 +214,7 @@ def k_core(
     only the surviving edge set — the work SHRINKS monotonically, the
     opposite of closure's doubling.
     """
-    und = _cut(
-        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-        .unionByName(
-            edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .dropDuplicates(["u", "v"])
-        ),
-        mgr,
-        "kcore_und",
-    )
+    und = _cut(_undirected(edges, id_a, id_b), mgr, "kcore_und")
     alive = und.select(F.col("u").alias("id")).distinct()
     alive = _cut(alive, mgr, "kcore_alive_0")
     n_alive = alive.count()
@@ -280,10 +272,18 @@ def locally_dominant_matching(
     LOUD raise past ``max_rounds``. Returns the matched canonical pairs
     with their score.
     """
-    edges = scored_pairs.select(
-        F.col(id_a).alias("ea"), F.col(id_b).alias("eb"),
-        F.col(score_col).alias("s"),
-    ).filter(F.col("ea") != F.col("eb")).dropDuplicates(["ea", "eb"])
+    edges = (
+        scored_pairs.select(
+            F.col(id_a).alias("ea"), F.col(id_b).alias("eb"),
+            F.col(score_col).alias("s"),
+        )
+        .filter(F.col("ea") != F.col("eb"))
+        # duplicate (ea, eb) rows keep their MAX score: dropDuplicates
+        # would keep an arbitrary one, making the result partitioning-
+        # dependent and breaking the sequential-greedy equivalence
+        .groupBy("ea", "eb")
+        .agg(F.max("s").alias("s"))
+    )
     edges = _cut(edges, mgr, "ldm_edges_0")
     matched = None
     for r in range(1, max_rounds + 1):
@@ -300,6 +300,8 @@ def locally_dominant_matching(
             "node", F.col("m.s").alias("s"),
             (-F.col("m.na")).alias("ea"), (-F.col("m.nb")).alias("eb"),
         )
+        # best feeds BOTH semi-joins: cut so the union+argmax runs once
+        best = _cut(best, mgr, f"ldm_best_{r}")
         won = (
             edges.join(
                 best.select(F.col("node").alias("ea"), "eb"), ["ea", "eb"],
@@ -324,7 +326,10 @@ def locally_dominant_matching(
             .join(taken.withColumnRenamed("node", "eb"), "eb", "left_anti")
         )
         edges = _cut(edges, mgr, f"ldm_edges_{r}")
-    else:
+    # the bound is "LOUD past max_rounds", not at it: a graph that drains
+    # exactly on the final round must succeed, so test emptiness once more
+    # after the loop instead of relying on the next iteration's check
+    if not edges.isEmpty():
         raise RuntimeError(
             f"locally_dominant_matching did not drain within {max_rounds} "
             "rounds — raise max_rounds"
