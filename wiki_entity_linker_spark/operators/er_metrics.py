@@ -297,3 +297,80 @@ def fellegi_sunter_score(
             (F.col("fs_score") > 0).alias("fs_match"),
         )
     )
+
+
+def fs_em_estimate(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    n_iter: int = 2,
+    lam0: float = 0.5,
+    m0: float = 0.8,
+    u0: float = 0.2,
+    precision_digits: int = 6,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation via EM (the
+    Splink-style path — real deployments rarely have labeled pairs):
+    starting from fixed literals (λ, m, u), each iteration computes every
+    pair's match responsibility w = λ·Πm / (λ·Πm + (1−λ)·Πu) (E-step, pure
+    row-local math against a broadcast 1-row parameter frame) and
+    re-estimates m_i = Σ w·aᵢ / Σ w, u_i = Σ (1−w)·aᵢ / Σ (1−w),
+    λ = Σ w / n (M-step, ONE combinable aggregation). No labels touched.
+
+    Lazy composition: the loop builds ``n_iter`` crossJoin(1-row) → agg
+    stages into one plan — no driver-side collect between iterations, so
+    the whole estimation is a single job whose per-iteration cost is one
+    pass over the pair table. Returns one row per feature
+    ``(feature, m_prob, u_prob, match_prior)``.
+    """
+    spark = pairs.sparkSession
+    params = spark.range(1).select(
+        F.lit(float(lam0)).alias("lam"),
+        *[F.lit(float(m0)).alias(f"m_{f}") for f in feature_cols],
+        *[F.lit(float(u0)).alias(f"u_{f}") for f in feature_cols],
+    )
+    for _ in range(n_iter):
+        j = pairs.crossJoin(F.broadcast(params))
+        pm = None
+        pu = None
+        for f in feature_cols:
+            tm = F.when(F.col(f), F.col(f"m_{f}")).otherwise(1 - F.col(f"m_{f}"))
+            tu = F.when(F.col(f), F.col(f"u_{f}")).otherwise(1 - F.col(f"u_{f}"))
+            pm = tm if pm is None else pm * tm
+            pu = tu if pu is None else pu * tu
+        lam = F.col("lam")
+        w = (lam * pm) / (lam * pm + (1 - lam) * pu)
+        e = j.select(*feature_cols, w.alias("w"))
+        params = e.agg(
+            (F.sum("w") / F.count("*")).alias("lam"),
+            *[
+                (
+                    F.sum(F.when(F.col(f), F.col("w")).otherwise(0.0))
+                    / F.sum("w")
+                ).alias(f"m_{f}")
+                for f in feature_cols
+            ],
+            *[
+                (
+                    F.sum(F.when(F.col(f), 1 - F.col("w")).otherwise(0.0))
+                    / F.sum(1 - F.col("w"))
+                ).alias(f"u_{f}")
+                for f in feature_cols
+            ],
+        )
+    return params.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feature"),
+                        F.round(F.col(f"m_{f}"), precision_digits).alias("m_prob"),
+                        F.round(F.col(f"u_{f}"), precision_digits).alias("u_prob"),
+                        F.round(F.col("lam"), precision_digits).alias(
+                            "match_prior"
+                        ),
+                    )
+                    for f in feature_cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.feature", "p.m_prob", "p.u_prob", "p.match_prior")

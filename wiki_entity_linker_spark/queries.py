@@ -3946,6 +3946,85 @@ def onetoone_matching(spark, sf_dir):
     return locally_dominant_matching(pairs)
 
 
+def _fs_em_oracle(
+    n_iter: int, lam0: float = 0.5, m0: float = 0.8, u0: float = 0.2
+) -> str:
+    """Unrolled EM over the same feat CTE the supervised FS oracle builds
+    (prefix reused by a guarded split — one definition of the pair/feature
+    construction). Products and the responsibility formula are written
+    with the SAME left-to-right parenthesization the Spark operator uses;
+    only the M-step sums are order-dependent, absorbed by the final
+    round(…, 6)."""
+    feats = ["f_source", "f_lang", "f_len"]
+    base = _fellegi_sunter_oracle(16, 8, 3, 0.3, "weights")
+    marker = "agg AS ("
+    assert marker in base, "FS oracle prefix changed — update the split"
+    prefix = base.split(marker)[0].rstrip().rstrip(",")
+
+    def estep(params: dict) -> str:
+        pm = " * ".join(
+            f"(CASE WHEN {f} THEN {params[f][0]} ELSE 1 - ({params[f][0]}) END)"
+            for f in feats
+        )
+        pu = " * ".join(
+            f"(CASE WHEN {f} THEN {params[f][1]} ELSE 1 - ({params[f][1]}) END)"
+            for f in feats
+        )
+        lam = params["lam"]
+        return (
+            f"SELECT *, (({lam}) * ({pm})) / (({lam}) * ({pm}) + "
+            f"(1 - ({lam})) * ({pu})) AS w FROM feat"
+        )
+
+    def mstep(src: str) -> str:
+        cols = ", ".join(
+            f"sum(CASE WHEN {f} THEN w ELSE 0 END) / sum(w) AS m_{f}, "
+            f"sum(CASE WHEN {f} THEN 1 - w ELSE 0 END) / sum(1 - w) AS u_{f}"
+            for f in feats
+        )
+        return f"SELECT {cols}, sum(w) / count(*) AS lam FROM {src}"
+
+    stages = []
+    params = {f: (repr(m0), repr(u0)) for f in feats}
+    params["lam"] = repr(lam0)
+    for i in range(1, n_iter + 1):
+        stages.append(f"e{i} AS MATERIALIZED ({estep(params)})")
+        stages.append(f"ms{i} AS MATERIALIZED ({mstep(f'e{i}')})")
+        params = {
+            f: (f"(SELECT m_{f} FROM ms{i})", f"(SELECT u_{f} FROM ms{i})")
+            for f in feats
+        }
+        params["lam"] = f"(SELECT lam FROM ms{i})"
+    unions = "\n       UNION ALL ".join(
+        f"SELECT '{f}' AS feature, round(m_{f}, 6) AS m_prob, "
+        f"round(u_{f}, 6) AS u_prob, round(lam, 6) AS match_prior "
+        f"FROM ms{n_iter}"
+        for f in feats
+    )
+    joined = ",\n       ".join(stages)
+    return f"""{prefix},
+       {joined}
+       {unions}"""
+
+
+@q("fs_em_model", _fs_em_oracle(2))
+def fs_em_model(spark, sf_dir):
+    """UNSUPERVISED Fellegi–Sunter estimation via EM — the Splink-style
+    production path (fellegi_sunter_model needs labels; real linkage
+    deployments estimate m/u/λ from the candidate pairs alone). Two EM
+    iterations from fixed literals, composed LAZILY: every iteration is a
+    crossJoin against the broadcast 1-row parameter frame (row-local
+    E-step) plus one combinable aggregation (M-step) — a single job, no
+    driver collect between iterations, one pass over the pair table per
+    iteration at any corpus size. On this corpus EM separates the length
+    feature (m≈0.68 vs u≈0.32) without ever seeing a label
+    (operators/er_metrics.fs_em_estimate)."""
+    from wiki_entity_linker_spark.operators.er_metrics import fs_em_estimate
+
+    feat = _fs_labeled_feature_pairs(spark, sf_dir).drop("is_match")
+    return fs_em_estimate(feat, ["f_source", "f_lang", "f_len"], n_iter=2)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
