@@ -4025,6 +4025,53 @@ def fs_em_model(spark, sf_dir):
     return fs_em_estimate(feat, ["f_source", "f_lang", "f_len"], n_iter=2)
 
 
+@q(
+    "value_islands",
+    """WITH seq AS (
+         SELECT user_id, event_type, ts, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                - row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS grp
+         FROM events)
+       SELECT user_id, event_type, min(ts) AS valid_from,
+              max(ts) AS valid_to, CAST(count(*) AS BIGINT) AS n_events
+       FROM seq GROUP BY user_id, event_type, grp""",
+)
+def value_islands(spark, sf_dir):
+    """Islands detection / SCD2-style interval collapse: consecutive
+    same-value runs per key become validity intervals (user stays in
+    event_type X from valid_from to valid_to) via the classic
+    row_number-difference trick — the groups-and-islands pattern every
+    slowly-changing-dimension merge and entity-snapshot history builder
+    needs, and a different primitive from gap-based sessionize (islands
+    split on VALUE change, sessions on TIME gaps). The whole query runs
+    on ONE exchange (verified): both windows and the final aggregate
+    reuse the hashpartitioning(user_id) — partitioning by a subset of the
+    group keys still co-locates every group; the grouping key
+    (rn_global − rn_per_value) is pure integer math."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_val)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .drop("grp")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
