@@ -96,6 +96,12 @@ SF1_QUERIES = [
     "bcubed_eval",
     "asof_join_events",
     "embedding_quantization",
+    # round 5, fifth batch: the graph loops (peel/matching), the FS
+    # scoring chain, and the islands window collapse — all data-bound
+    "kcore_dense",
+    "onetoone_matching",
+    "fellegi_sunter_scores",
+    "value_islands",
 ]
 
 

@@ -4021,7 +4021,13 @@ def fs_em_model(spark, sf_dir):
     (operators/er_metrics.fs_em_estimate)."""
     from wiki_entity_linker_spark.operators.er_metrics import fs_em_estimate
 
-    feat = _fs_labeled_feature_pairs(spark, sf_dir).drop("is_match")
+    # each EM iteration consumes the pair frame once: checkpoint the
+    # candidate-generation pipeline so it runs once, not once per iteration
+    feat = (
+        _fs_labeled_feature_pairs(spark, sf_dir)
+        .drop("is_match")
+        .localCheckpoint(eager=True)
+    )
     return fs_em_estimate(feat, ["f_source", "f_lang", "f_len"], n_iter=2)
 
 
