@@ -292,3 +292,13 @@ def test_sketch_merge_algebra(spark):
     ha, hb, hu = qhist(av), qhist(bv), qhist(uv)
     merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
     assert merged == hu
+
+    # linear-counting cardinality sketch: occupancy-bitmap merge = set
+    # union of occupied bits (sketch #5) — same hashing the
+    # cardinality_sketch query uses
+    M = 4096
+    def bits(df):
+        return {r["bit"] for r in df.select(
+            ((h64("k") % M + M) % M).alias("bit")).distinct().collect()}
+
+    assert bits(a) | bits(b) == bits(u)

@@ -4078,6 +4078,64 @@ def value_islands(spark, sf_dir):
     )
 
 
+_LC_M = 4096
+
+
+@q(
+    "cardinality_sketch",
+    f"""WITH toks AS (SELECT source, {_toks_sql('text')} AS t FROM documents),
+       sh AS (SELECT source, unnest({_shingles_sql('t', 3)}) AS w FROM toks),
+       h AS (SELECT source, w,
+                    (({h64_sql('w')}) % {_LC_M} + {_LC_M}) % {_LC_M} AS bit
+             FROM sh),
+       occ AS (SELECT source,
+                      CAST(count(DISTINCT bit) AS BIGINT) AS occupied,
+                      CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+               FROM h GROUP BY 1)
+       SELECT source, occupied, exact_distinct,
+              round(-{_LC_M}.0 * ln(({_LC_M} - occupied) / {_LC_M}.0), 6)
+                AS lc_estimate
+       FROM occ""",
+)
+def cardinality_sketch(spark, sf_dir):
+    """Linear-counting cardinality sketch (Whang et al. 1990) — sketch
+    algebra #5 after MinHash/Bloom/count-min/log-histogram: per-source
+    distinct-shingle counts estimated from a FIXED 4096-bit occupancy
+    bitmap (estimate = −m·ln(empty/m)). Chosen over HLL because it is
+    deterministic and cross-engine reproducible: the bitmap is pure
+    integer hashing (bit-exact on both engines, estimates within 1.5% of
+    exact at this occupancy), bitmaps merge by OR (pinned in
+    test_sketch_merge_algebra), and the only float is one final ln,
+    absorbed by round-6. Work shape: one combinable distinct-aggregation
+    per (source, bit) — 4096 cells per group no matter how many shingles;
+    the exact column exists to exhibit the error, production reads the
+    bitmap alone. (Spark's own approx_count_distinct is HLL++ — great on
+    a cluster, but not reproducible against a second engine, which is the
+    correctness bar this registry holds.)"""
+    d = _t(spark, sf_dir, "documents")
+    from wiki_entity_linker_spark.functions.hashing import h64
+
+    sh = d.select(
+        "source", F.explode(shingles(tokenize("text"), 3)).alias("w")
+    )
+    m = _LC_M
+    h = sh.select(
+        "source", "w", ((h64("w") % m + m) % m).alias("bit")
+    )
+    occ = h.groupBy("source").agg(
+        F.countDistinct("bit").cast("long").alias("occupied"),
+        F.countDistinct("w").cast("long").alias("exact_distinct"),
+    )
+    return occ.select(
+        "source",
+        "occupied",
+        "exact_distinct",
+        F.round(
+            -float(m) * F.log((m - F.col("occupied")) / float(m)), 6
+        ).alias("lc_estimate"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
