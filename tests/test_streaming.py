@@ -219,3 +219,63 @@ def test_session_window_stream_equals_batch(spark, sf0001, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert got == want
+
+
+def test_streaming_asof_enrichment_equals_batch(spark, sf0001, tmp_path):
+    """Stream-static temporal enrichment: purchases arriving as a stream
+    are as-of joined (foreachBatch) against the static views table; the
+    union of all batch outputs equals the one-shot batch as-of join."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wiki_entity_linker_spark.operators.asof import asof_join
+
+    events_path = os.path.join(sf0001, "events.parquet")
+    ev = spark.read.parquet(events_path)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def enrich(purchases):
+        return asof_join(
+            purchases.select("event_id", "user_id", "ts"),
+            views,
+            on=["user_id"], left_ts="ts", right_ts="ts",
+            right_tie="event_id",
+            payload={"view_event_id": "event_id"},
+            tolerance_seconds=48 * 3600,
+        )
+
+    batch_out = enrich(ev.filter(F.col("event_type") == "purchase"))
+    want = {
+        (r["event_id"], r["view_event_id"]) for r in batch_out.collect()
+    }
+    assert len(want) > 0
+
+    stream_dir = str(tmp_path / "purchases_stream")
+    os.makedirs(stream_dir)
+    # two drops: the enrichment must be per-batch-correct, not whole-input
+    ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0)) \
+        .write.parquet(os.path.join(stream_dir, "d0"))
+    ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 1)) \
+        .write.parquet(os.path.join(stream_dir, "d1"))
+    got = set()
+
+    def sink(batch_df, epoch_id):
+        for r in enrich(batch_df).collect():
+            got.add((r["event_id"], r["view_event_id"]))
+
+    purchases_schema = ev.schema
+    stream = (
+        spark.readStream.schema(purchases_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want
