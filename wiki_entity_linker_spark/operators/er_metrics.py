@@ -374,3 +374,85 @@ def fs_em_estimate(
             )
         ).alias("p")
     ).select("p.feature", "p.m_prob", "p.u_prob", "p.match_prior")
+
+
+def fs_multilevel_weights(
+    pairs: DataFrame,
+    level_cols: dict[str, int],
+    match_col: str = "is_match",
+    precision_digits: int = 6,
+) -> DataFrame:
+    """Splink-style MULTI-LEVEL Fellegi–Sunter weights: comparisons are
+    categorical levels (exact / close / else), not booleans — m_l =
+    P(level | match) and u_l = P(level | unmatch) per (feature, level),
+    Laplace-smoothed over the level count so absent levels stay finite.
+    Graded levels expose structure booleans flatten: an adjacent length
+    bucket scores very differently from a far one.
+
+    ``level_cols`` maps a level column (integer 0..n−1) to its level
+    count. The full (feature, level) domain is generated from literals and
+    LEFT-joined onto the observed counts, so zero-count levels still get
+    (smoothed) rows. One explode + one groupBy + a broadcast domain join —
+    Σ n_levels output rows regardless of pair count.
+    """
+    spark = pairs.sparkSession
+    stacked = pairs.select(
+        F.col(match_col).alias("__m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.col(name).cast("long").alias("level"),
+                    )
+                    for name in level_cols
+                ]
+            )
+        ).alias("f"),
+    ).select("__m", "f.feature", "f.level")
+    cnt = stacked.groupBy("feature", "level").agg(
+        F.sum(F.when(F.col("__m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_m"),
+        F.sum(F.when(~F.col("__m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_u"),
+    )
+    dom = spark.createDataFrame(
+        [
+            (name, lvl, n)
+            for name, n in level_cols.items()
+            for lvl in range(n)
+        ],
+        "feature string, level long, n_levels long",
+    )
+    tot = pairs.agg(
+        F.sum(F.when(F.col(match_col), 1).otherwise(0))
+        .cast("long")
+        .alias("nm"),
+        F.sum(F.when(~F.col(match_col), 1).otherwise(0))
+        .cast("long")
+        .alias("nu"),
+    )
+    j = (
+        F.broadcast(dom)
+        .join(cnt, ["feature", "level"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    m = (F.coalesce(F.col("n_m"), F.lit(0)) + 1) / (
+        F.col("nm") + F.col("n_levels")
+    ).cast("double")
+    u = (F.coalesce(F.col("n_u"), F.lit(0)) + 1) / (
+        F.col("nu") + F.col("n_levels")
+    ).cast("double")
+    return j.select(
+        "feature",
+        "level",
+        F.coalesce(F.col("n_m"), F.lit(0)).cast("long").alias("n_match_level"),
+        F.col("nm").alias("n_match"),
+        F.coalesce(F.col("n_u"), F.lit(0)).cast("long").alias("n_unmatch_level"),
+        F.col("nu").alias("n_unmatch"),
+        F.round(m, precision_digits).alias("m_prob"),
+        F.round(u, precision_digits).alias("u_prob"),
+        F.round(F.log2(m / u), precision_digits).alias("level_weight"),
+    )

