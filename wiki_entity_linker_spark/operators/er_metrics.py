@@ -1,20 +1,27 @@
-"""Clustering / blocking quality metrics for entity resolution.
+"""ER evaluation metrics and probabilistic record-linkage scoring.
 
 The reference evaluates LINKING quality with ELEVANT-style per-mention
 cases (eval/elevant_cases.py); classic ER literature additionally evaluates
-the RESOLUTION side — how good the produced clustering is against a gold
-partition (B-cubed; Bagga & Baldwin 1998) and how good a blocking scheme is
-before any pairwise verification runs (pairs completeness / reduction
-ratio; Christen 2012, "Data Matching" ch. 7). Both are pure aggregations,
-so they run as first-class distributed rollups here:
+the RESOLUTION side and scores pairs probabilistically. Everything here is
+aggregation-shaped — nothing materializes an items² or pairs-sized
+intermediate beyond its input:
 
-- :func:`bcubed` uses the contingency form of B-cubed — per-item precision
-  ``|C(i) ∩ G(i)| / |C(i)|`` summed over items equals
-  ``Σ_{c,g} n_cg² / n_c`` — three groupBys over the item table instead of a
-  per-item join, so the metric costs the same as a word count at 100 TB.
-- :func:`blocking_quality` is three counted set operations over canonical
-  pair keys (truth, candidates, their intersection); the quadratic sides
-  stay inside whatever generated the pair tables (banded/capped upstream).
+- :func:`bcubed` / :func:`pairwise_clustering` — clustering quality vs a
+  gold partition (Bagga & Baldwin 1998; pairwise F1), both in contingency
+  form: per-item/per-pair sums collapse to Σ over (c, g) cells, so three
+  groupBys replace any join back to the item table.
+- :func:`blocking_quality` — pairs completeness / reduction ratio
+  (Christen 2012 ch. 7) as counted set operations over canonical pair
+  keys; the quadratic sides stay inside whatever generated the pair
+  tables (banded/capped upstream).
+- :func:`fellegi_sunter_weights` / :func:`fs_multilevel_weights` /
+  :func:`fs_em_estimate` — the Fellegi & Sunter (1969) model: supervised
+  m/u estimation (boolean or Splink-style multi-level comparisons) and
+  unsupervised lazy-EM estimation; output is feature-count rows however
+  many pairs went in.
+- :func:`fellegi_sunter_score` — applies the published (rounded) weights
+  back to pairs via one broadcast join; threshold selection runs as the
+  fs_threshold_sweep query over the per-score summary frame.
 """
 
 from __future__ import annotations
