@@ -154,3 +154,21 @@ def test_asof_symmetrized_graph_inputs_and_drain_bound(spark):
         right_tie="rid", payload={"m_rid": "rid"},
     )
     assert out.count() == 1
+
+
+def test_asof_composite_key(spark):
+    # equality keys can be composite: matches must respect BOTH columns
+    left = spark.createDataFrame(
+        [(1, "x", _ts(10), 100), (1, "y", _ts(10), 101)],
+        ["k1", "k2", "lts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(1, "x", _ts(5), 7, 0.5), (1, "z", _ts(9), 8, 0.9)],
+        ["k1", "k2", "rts", "rid", "val"],
+    )
+    out = asof_join(
+        left, right, on=["k1", "k2"], left_ts="lts", right_ts="rts",
+        right_tie="rid", payload={"m_rid": "rid"},
+    )
+    got = {r["lid"]: r["m_rid"] for r in out.collect()}
+    assert got == {100: 7, 101: None}
