@@ -4251,9 +4251,80 @@ def fs_multilevel_model(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver correctness-window ordering
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS gate runs queries() in dict order and records only
+# the FIRST 50 rows, so the newest / highest-risk operators must come first.
+# _DRIVER_WINDOW_FIRST lists them explicitly (round-6 additions, then the
+# round-5 tier, then round 4); everything else follows in reverse
+# registration order (newest first).  An assert guards against a registered
+# query missing from the rotation logic entirely.
+
+_DRIVER_WINDOW_FIRST: list[str] = [
+    # round-5 tier (never driver-checked before round 6)
+    "asof_join_events",
+    "allpairs_jaccard",
+    "onetoone_matching",
+    "kcore_dense",
+    "bcubed_eval",
+    "pairwise_cluster_eval",
+    "blocking_quality",
+    "fellegi_sunter_model",
+    "fellegi_sunter_scores",
+    "fs_threshold_sweep",
+    "fs_em_model",
+    "fs_multilevel_model",
+    "bloom_decontamination",
+    "triangle_clustering",
+    "dup_graph_pagerank",
+    "embedding_quantization",
+    "bm25_topk",
+    "exact_substring_dup",
+    "segment_dedup",
+    "winnowing_pairs",
+    "pii_redaction",
+    "doc_chunks",
+    "token_budget_sample",
+    "mixture_allocation",
+    "stratified_sample",
+    "length_quantiles",
+    "vocab_coverage",
+    "collocation_lift",
+    "source_overlap",
+    "source_minhash_overlap",
+    "skew_report",
+    "sorted_neighborhood",
+    "snm_fuzzy_pairs",
+    "dedup_verdicts",
+    "count_min_heavy_hitters",
+    "label_centroids",
+    "quantile_sketch",
+    "cardinality_sketch",
+    "value_islands",
+    "q3_shipping_priority",
+    "q18_large_volume",
+]
+
+
+def _window_order() -> list[str]:
+    front = [n for n in _DRIVER_WINDOW_FIRST if n in _REGISTRY]
+    rest = [n for n in reversed(list(_REGISTRY)) if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(_REGISTRY), (
+        "window rotation lost queries: "
+        f"{set(_REGISTRY) ^ set(ordered)}"
+    )
+    return ordered
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _window_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _window_order()
+        if _REGISTRY[name][1] is not None
+    }
