@@ -252,6 +252,28 @@ def test_locally_dominant_matching_equals_greedy(spark):
     assert len(nodes) == len(set(nodes))
 
 
+def test_locally_dominant_matching_string_ids(spark):
+    # the ER pipeline's canonical file_id is a sha256 STRING: the tie-break
+    # must be order-based, not numeric negation. Same chain/tie shape as the
+    # numeric test, under the lexicographic id order the greedy ref uses.
+    from wiki_entity_linker_spark.operators.graph import locally_dominant_matching
+
+    edges = [
+        ("a0", "a1", 0.9), ("a1", "a2", 0.8), ("a2", "a3", 0.7),
+        ("a3", "a4", 0.6), ("a4", "a5", 0.5),
+        ("b0", "b1", 0.4), ("b0", "b2", 0.4), ("b1", "b2", 0.4),
+        ("c0", "c1", 1.0), ("c1", "c2", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b", "score"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["score"])
+        for r in locally_dominant_matching(df).collect()
+    )
+    assert got == _greedy_matching_ref(edges)
+    nodes = [n for ea, eb, _ in got for n in (ea, eb)]
+    assert len(nodes) == len(set(nodes))
+
+
 def test_locally_dominant_matching_empty_and_bound(spark):
     import pytest as _pytest
 
@@ -314,3 +336,41 @@ def test_matching_drains_exactly_at_bound_and_max_score_dedup(spark):
         for r in locally_dominant_matching(dup).collect()
     )
     assert got == [(0, 1, 0.9)]
+
+
+def test_fs_em_cut_parity_and_deep_iterations(spark):
+    """cut_every materializes the 1-row parameter frame between EM
+    iterations: values are identical to the fully lazy composition, and a
+    Splink-typical n_iter=12 run keeps a bounded plan (the lazy form's
+    plan deepens per iteration and re-executes every prior E-step per
+    broadcast)."""
+    from wiki_entity_linker_spark.operators.er_metrics import fs_em_estimate
+
+    rows = []
+    for i in range(120):
+        match = i % 3 == 0
+        rows.append((
+            i,
+            match or i % 7 == 0,           # f1: mostly fires on matches
+            match and i % 2 == 0,          # f2: fires on half the matches
+        ))
+    pairs = spark.createDataFrame(rows, ["pid", "f1", "f2"])
+
+    lazy = sorted(
+        map(tuple, fs_em_estimate(pairs, ["f1", "f2"], n_iter=3,
+                                  cut_every=0).collect())
+    )
+    cut = sorted(
+        map(tuple, fs_em_estimate(pairs, ["f1", "f2"], n_iter=3,
+                                  cut_every=1).collect())
+    )
+    assert lazy == cut
+
+    deep = fs_em_estimate(pairs, ["f1", "f2"], n_iter=12)
+    shallow = fs_em_estimate(pairs, ["f1", "f2"], n_iter=2)
+    assert deep.count() == 2
+    # lineage is truncated at the last cut, so plan size must NOT grow
+    # with iteration count
+    d_plan = deep._jdf.queryExecution().optimizedPlan().toString()
+    s_plan = shallow._jdf.queryExecution().optimizedPlan().toString()
+    assert len(d_plan) <= 2 * len(s_plan), (len(d_plan), len(s_plan))

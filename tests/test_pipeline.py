@@ -174,6 +174,44 @@ def test_pathological_exact_dup_group_no_giant_rows(spark, tmp_path):
     assert n_comp_dup == 1
 
 
+def test_one_to_one_matching_stage(spark, tiny_corpus_dir, tmp_path):
+    """cfg.one_to_one adds out["matching"]: a greedy locally-dominant
+    matching over the above-threshold scored representative pairs, running
+    on the pipeline's sha256 STRING ids and equal to the sequential greedy
+    (score desc, id_a asc, id_b asc) over the same candidate edges."""
+    sf = spark.read.parquet(f"{tiny_corpus_dir}/source_files.parquet")
+    lp = spark.read.parquet(f"{tiny_corpus_dir}/labeled_pairs.parquet")
+    cfg = ERConfig(one_to_one=True)
+    out = run_er_pipeline(spark, sf, lp, str(tmp_path / "oto"), cfg=cfg)
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["score"])
+        for r in out["matching"].collect()
+    )
+    assert got, "matching stage produced no pairs on the fixture"
+    assert all(isinstance(ea, str) and isinstance(eb, str) for ea, eb, _ in got)
+    nodes = [n for ea, eb, _ in got for n in (ea, eb)]
+    assert len(nodes) == len(set(nodes)), "matching is not one-to-one"
+
+    # sequential greedy reference over the SAME candidate edge set
+    edges = [
+        (r["id_a"], r["id_b"],
+         round(max(r["shingle_jaccard"], r["tf_cosine"]), 9))
+        for r in out["scores"].collect()
+        if r["shingle_jaccard"] >= cfg.jaccard_threshold
+        or r["tf_cosine"] >= cfg.cosine_threshold
+    ]
+    best = {}
+    for ea, eb, s in edges:  # max-score dedup of duplicate pairs
+        best[(ea, eb)] = max(s, best.get((ea, eb), -1.0))
+    taken, ref = set(), []
+    for (ea, eb), s in sorted(best.items(), key=lambda e: (-e[1], e[0])):
+        if ea != eb and ea not in taken and eb not in taken:
+            taken.update((ea, eb))
+            ref.append((ea, eb, s))
+    assert got == sorted(ref)
+
+
 def test_snm_blocking_union(spark, tiny_corpus_dir, tmp_path):
     """cfg.snm_window unions sorted-neighborhood stem pairs into the
     candidate set: candidates grow (near-miss stems that never collide on

@@ -314,6 +314,7 @@ def fs_em_estimate(
     m0: float = 0.8,
     u0: float = 0.2,
     precision_digits: int = 6,
+    cut_every: int = 1,
 ) -> DataFrame:
     """UNSUPERVISED Fellegi–Sunter parameter estimation via EM (the
     Splink-style path — real deployments rarely have labeled pairs):
@@ -323,11 +324,15 @@ def fs_em_estimate(
     re-estimates m_i = Σ w·aᵢ / Σ w, u_i = Σ (1−w)·aᵢ / Σ (1−w),
     λ = Σ w / n (M-step, ONE combinable aggregation). No labels touched.
 
-    Lazy composition: the loop builds ``n_iter`` crossJoin(1-row) → agg
-    stages into one plan — no driver-side collect between iterations, so
-    the whole estimation is a single job whose per-iteration cost is one
-    pass over the pair table. Returns one row per feature
-    ``(feature, m_prob, u_prob, match_prior)``.
+    Plan-depth bound (``cut_every``): iteration i's broadcast executes its
+    whole lineage, so a fully lazy n-iteration composition re-runs every
+    prior E-step — O(n²) passes over the pair table and a Catalyst plan
+    that deepens per iteration. Each E-step is a full pass anyway, so the
+    parameter frame (1 row) is materialized via ``localCheckpoint`` every
+    ``cut_every`` iterations (default 1 = every iteration: exactly n
+    passes, Splink-typical n_iter 10–20 stays flat; 0 disables and keeps
+    the single lazy plan). The cuts never change values. Returns one row
+    per feature ``(feature, m_prob, u_prob, match_prior)``.
     """
     spark = pairs.sparkSession
     params = spark.range(1).select(
@@ -335,7 +340,7 @@ def fs_em_estimate(
         *[F.lit(float(m0)).alias(f"m_{f}") for f in feature_cols],
         *[F.lit(float(u0)).alias(f"u_{f}") for f in feature_cols],
     )
-    for _ in range(n_iter):
+    for it in range(1, n_iter + 1):
         j = pairs.crossJoin(F.broadcast(params))
         pm = None
         pu = None
@@ -364,6 +369,8 @@ def fs_em_estimate(
                 for f in feature_cols
             ],
         )
+        if cut_every and it % cut_every == 0 and it < n_iter:
+            params = params.localCheckpoint(eager=True)
     return params.select(
         F.explode(
             F.array(

@@ -10,7 +10,7 @@ operators/closure.py; this module holds numeric fixpoints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -205,24 +205,30 @@ def k_core(
     peeled-off periphery (Seidman 1983), complementing triangle_counts.
 
     Iterative peeling as a DataFrame fixpoint (same loop discipline as
-    connected_components): each round recomputes induced degrees with two
-    semi-joins of the edge list against the surviving node set and drops
-    nodes under k; per-round ``_cut`` truncates lineage, convergence is an
-    exact count comparison, and exceeding ``max_rounds`` raises LOUDLY
-    rather than returning a half-peeled set (a path graph peels one node
-    per round, so adversarial chains need the bound). Each round shuffles
-    only the surviving edge set — the work SHRINKS monotonically, the
-    opposite of closure's doubling.
+    connected_components): each round semi-joins the SURVIVING edge set —
+    carried forward from the previous round, since the subgraph induced by
+    a subset of an induced subgraph's nodes is the subgraph induced on the
+    original — against the surviving node set, recomputes induced degrees,
+    and drops nodes under k; per-round ``_cut`` truncates lineage and
+    materializes the shrinking edge set, convergence is an exact count
+    comparison, and exceeding ``max_rounds`` raises LOUDLY rather than
+    returning a half-peeled set (a path graph peels one node per round, so
+    adversarial chains need the bound). Per-round shuffle work is
+    O(surviving edges) and SHRINKS monotonically — the opposite of
+    closure's doubling.
     """
     und = _cut(_undirected(edges, id_a, id_b), mgr, "kcore_und")
     alive = und.select(F.col("u").alias("id")).distinct()
     alive = _cut(alive, mgr, "kcore_alive_0")
     n_alive = alive.count()
     for r in range(1, max_rounds + 1):
-        surv = (
+        surv = _cut(
             und.join(alive.withColumnRenamed("id", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi")
+            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi"),
+            mgr,
+            f"kcore_edges_{r}",
         )
+        und = surv  # next round peels the already-induced (smaller) graph
         nxt = (
             surv.groupBy("u")
             .agg(F.count("*").alias("__d"))
@@ -292,13 +298,17 @@ def locally_dominant_matching(
         und = edges.select(
             F.col("ea").alias("node"), "ea", "eb", "s"
         ).unionByName(edges.select(F.col("eb").alias("node"), "ea", "eb", "s"))
-        # deterministic per-node argmax: max score, then min (ea, eb)
-        best = und.groupBy("node").agg(
-            F.max(F.struct(F.col("s"), (-F.col("ea")).alias("na"),
-                           (-F.col("eb")).alias("nb"))).alias("m")
-        ).select(
-            "node", F.col("m.s").alias("s"),
-            (-F.col("m.na")).alias("ea"), (-F.col("m.nb")).alias("eb"),
+        # deterministic per-node argmax: max score, then min (ea, eb) —
+        # row_number over an explicit sort so ids of ANY orderable type
+        # (the ER pipeline's sha256-string file_ids included) work; the
+        # ordering is total because (ea, eb) is unique after the groupBy
+        wnd = Window.partitionBy("node").orderBy(
+            F.col("s").desc(), F.col("ea").asc(), F.col("eb").asc()
+        )
+        best = (
+            und.withColumn("__rn", F.row_number().over(wnd))
+            .filter(F.col("__rn") == 1)
+            .select("node", "s", "ea", "eb")
         )
         # best feeds BOTH semi-joins: cut so the union+argmax runs once
         best = _cut(best, mgr, f"ldm_best_{r}")

@@ -123,6 +123,14 @@ class ERConfig:
     # path refuses it (run_er_incremental raises) rather than silently
     # diverging from the full run.
     snm_window: int = 0
+    # one-to-one assignment (cross-database record linkage semantics):
+    # additionally emit out["matching"], a locally-dominant greedy matching
+    # (Preis 1999) over the above-threshold scored representative pairs, so
+    # each representative links to at most ONE partner — the alternative to
+    # transitive clustering when the two sides are known-deduplicated
+    # databases. Clusters/assignment are still produced; this is an extra
+    # output stage, not a replacement.
+    one_to_one: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -435,6 +443,30 @@ def run_er_pipeline(
         "components": comps,
         "assignment": assignment,
     }
+
+    # 8b. optional one-to-one assignment: greedy locally-dominant matching
+    # over the above-threshold scored representative pairs (string sha256
+    # ids — the matching's tie-break is order-based, not numeric). Ranked
+    # by the same similarity the decision rule gates on.
+    if cfg.one_to_one:
+        def _matching() -> DataFrame:
+            from wiki_entity_linker_spark.operators.graph import (
+                locally_dominant_matching,
+            )
+
+            is_match = (
+                F.col("shingle_jaccard") >= cfg.jaccard_threshold
+            ) | (F.col("tf_cosine") >= cfg.cosine_threshold)
+            cand = scores.filter(is_match).select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.greatest("shingle_jaccard", "tf_cosine"), 9
+                ).alias("score"),
+            )
+            return locally_dominant_matching(cand, mgr=mgr)
+
+        out["matching"] = mgr.stage("matching", _matching)
 
     # 9. evaluation vs labeled pairs (optional at inference time)
     if labeled_pairs is not None:
