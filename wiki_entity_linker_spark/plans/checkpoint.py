@@ -174,18 +174,24 @@ class StageManager:
             return df.persist() if cache else df
         meta_path = self._meta_path(name)
         # every stage's identity folds in upstream identities
-        self.chain_hash = params_hash({"prev": self.chain_hash, "stage": name})
+        stage_hash = params_hash({"prev": self.chain_hash, "stage": name})
+        self.chain_hash = stage_hash
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            if meta.get("params_hash") == self.chain_hash:
+            if meta.get("params_hash") == stage_hash:
                 self.counters[name] = meta | {"resumed": True}
                 return self.store.read(self.spark, name)
         df = build()
+        # a build may itself run NESTED stages (operators thread mgr= into
+        # their internal cuts): restore this stage's hash afterwards so the
+        # chain seen downstream is identical whether the build ran or the
+        # stage resumed (a resumed stage never executes the nested calls)
+        self.chain_hash = stage_hash
         out = self.store.write(self.spark, name, df)
         meta = {
             "stage": name,
-            "params_hash": self.chain_hash,
+            "params_hash": stage_hash,
             "rows_out": out.count(),
             "partitions": partition_lineage(out) if collect_lineage else [],
         }
