@@ -302,3 +302,28 @@ def test_sketch_merge_algebra(spark):
             ((h64("k") % M + M) % M).alias("bit")).distinct().collect()}
 
     assert bits(a) | bits(b) == bits(u)
+
+
+def test_meta_block_prune_hand_example(spark):
+    from wiki_entity_linker_spark.operators.blocking import meta_block_prune
+
+    rows = [
+        (1, "b1"), (2, "b1"), (3, "b1"),
+        (1, "b2"), (2, "b2"),
+        (2, "b3"), (3, "b3"),
+        (4, "b4"), (5, "b4"),
+        (4, "b4"),  # duplicate posting must not inflate cbs
+    ]
+    blocks = spark.createDataFrame(rows, ["id", "block_key"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["cbs"], r["js_w"], r["kept"])
+        for r in meta_block_prune(blocks).collect()
+    }
+    # nb: 1->2, 2->3, 3->2, 4->1, 5->1
+    # js_w = floor(1e6 * cbs / (nb_a + nb_b - cbs)); mean = 2666665 div 4
+    assert got == {
+        (1, 2): (2, 666666, True),
+        (1, 3): (1, 333333, False),
+        (2, 3): (2, 666666, True),
+        (4, 5): (1, 1000000, True),
+    }

@@ -574,6 +574,14 @@ def segment_dedup_stats(
         "is_kept",
         (F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("seg_idx") == F.col("w.seg_idx")),
     )
+    return segment_stats_from_flags(kept, id_col=id_col)
+
+
+def segment_stats_from_flags(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document rollup of :func:`segment_dedup_stats`, factored out so
+    the incremental curation path can roll up a BATCH's flagged segments
+    against chained winner evidence. ``kept`` = one row per segment with
+    (id, n_tokens, seg_tokens, is_kept)."""
     return kept.groupBy(id_col).agg(
         F.first("n_tokens").alias("n_tokens"),
         F.count("*").alias("n_segments"),
@@ -642,6 +650,23 @@ def exact_substring_coverage(
         .select("g")
     )
     dup_pos = grams.join(dup, "g", "semi")
+    return substring_coverage_from_positions(
+        dup_pos.select(id_col, "pos"), base.drop("t"), k, id_col=id_col
+    )
+
+
+def substring_coverage_from_positions(
+    dup_pos: DataFrame,
+    lengths: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interval-union rollup of :func:`exact_substring_coverage`, factored
+    out so the incremental curation path (plans/curation_incremental.py)
+    can recompute coverage for TOUCHED docs from already-flagged duplicated
+    gram starts. ``dup_pos`` = (id, pos) duplicated k-gram start positions;
+    ``lengths`` = (id, n_tokens) one row per doc to report (zero-coverage
+    docs included via left join)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     contrib = F.least(
         F.lit(k),
@@ -657,8 +682,7 @@ def exact_substring_coverage(
     )
     covered = F.coalesce("covered_tokens", F.lit(0).cast("long"))
     return (
-        base.drop("t")
-        .join(cov, id_col, "left")
+        lengths.join(cov, id_col, "left")
         .select(
             id_col,
             "n_tokens",

@@ -31,10 +31,18 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import json
+import os
+
 from wiki_entity_linker_spark.functions.hashing import h64
-from wiki_entity_linker_spark.functions.text import shingles, token_count, tokenize
+from wiki_entity_linker_spark.functions.text import (
+    normalize_content,
+    shingles,
+    token_count,
+    tokenize,
+)
 from wiki_entity_linker_spark.operators.dedup import (
-    exact_dedup,
+    _cut,
     exact_substring_coverage,
     segment_dedup_stats,
 )
@@ -54,21 +62,40 @@ class CurationConfig:
     extra: dict = field(default_factory=dict)
 
 
-def dedup_verdict_table(
-    docs: DataFrame, cfg: CurationConfig, mgr=None
+def exact_hash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One verdict per document from the three exact-dedup tiers (the
-    registered ``dedup_verdicts`` query, parameterized and mgr-threaded):
-    'drop_exact_dup' for a later copy of an identical doc,
-    'drop_boilerplate' above the duplicate-coverage threshold, else 'keep'.
-    """
-    ex = exact_dedup(docs, "doc_id", "text").select("doc_id", "canonical_id")
-    sub = exact_substring_coverage(docs, k=cfg.substr_k, mgr=mgr).select(
-        "doc_id", "n_tokens", F.col("covered_frac").alias("substr_dup_frac")
+    """(id, content_hash) — sha256 of whitespace-normalized content, the
+    exact-dup identity shared by the full run and the incremental append
+    (its chained probe index)."""
+    return docs.select(
+        F.col(id_col),
+        F.sha2(normalize_content(text_col), 256).alias("content_hash"),
     )
-    seg = segment_dedup_stats(docs, seg_len=cfg.seg_len, mgr=mgr).select(
-        "doc_id", F.col("dup_tokens").alias("seg_dup")
+
+
+def verdict_expr(boilerplate_frac: float):
+    """The verdict decision column over (doc_id, canonical_id,
+    substr_dup_frac, seg_dup_frac) — shared by the full run and the
+    incremental append so both label identically."""
+    thr = float(boilerplate_frac)
+    return (
+        F.when(F.col("canonical_id") != F.col("doc_id"), "drop_exact_dup")
+        .when(
+            (F.col("substr_dup_frac") > thr) | (F.col("seg_dup_frac") > thr),
+            "drop_boilerplate",
+        )
+        .otherwise("keep")
     )
+
+
+def assemble_verdicts(
+    ex: DataFrame, sub: DataFrame, seg: DataFrame, boilerplate_frac: float
+) -> DataFrame:
+    """Final verdict assembly from the three tier frames — shared by the
+    full run and the incremental append so both label identically.
+    ``ex``: (doc_id, canonical_id); ``sub``: (doc_id, n_tokens,
+    substr_dup_frac); ``seg``: (doc_id, seg_dup) with seg_dup nullable."""
     j = (
         sub.join(ex, "doc_id")
         .join(seg, "doc_id", "left")
@@ -84,7 +111,7 @@ def dedup_verdict_table(
             ).alias("seg_dup_frac"),
         )
     )
-    thr = float(cfg.boilerplate_frac)
+    thr = float(boilerplate_frac)
     return j.select(
         "doc_id",
         "n_tokens",
@@ -99,6 +126,33 @@ def dedup_verdict_table(
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+def dedup_verdict_table(
+    docs: DataFrame, cfg: CurationConfig, mgr=None
+) -> DataFrame:
+    """One verdict per document from the three exact-dedup tiers (the
+    registered ``dedup_verdicts`` query, parameterized and mgr-threaded):
+    'drop_exact_dup' for a later copy of an identical doc,
+    'drop_boilerplate' above the duplicate-coverage threshold, else 'keep'.
+
+    With a StageManager the per-doc hash table is cut as the
+    ``exact_hashes`` stage — together with ``exact_substring_grams`` and
+    ``segment_dedup_seg`` it forms the probe index the incremental append
+    (plans/curation_incremental.py) resolves against.
+    """
+    hashed = _cut(exact_hash_table(docs), mgr, "exact_hashes")
+    w = Window.partitionBy("content_hash")
+    ex = hashed.select(
+        "doc_id", F.min("doc_id").over(w).alias("canonical_id")
+    )
+    sub = exact_substring_coverage(docs, k=cfg.substr_k, mgr=mgr).select(
+        "doc_id", "n_tokens", F.col("covered_frac").alias("substr_dup_frac")
+    )
+    seg = segment_dedup_stats(docs, seg_len=cfg.seg_len, mgr=mgr).select(
+        "doc_id", F.col("dup_tokens").alias("seg_dup")
+    )
+    return assemble_verdicts(ex, sub, seg, cfg.boilerplate_frac)
 
 
 def contamination_flags(
@@ -263,6 +317,10 @@ def run_curation_pipeline(
         enabled=checkpoint,
         store=store,
     )
+    if checkpoint:
+        # the incremental append validates its cfg against the base run's
+        with open(os.path.join(workdir, "curation_meta.json"), "w") as f:
+            json.dump({"cfg": asdict(cfg)}, f)
 
     docs = documents.select("doc_id", "source", "text")
 

@@ -4251,6 +4251,105 @@ def fs_multilevel_model(spark, sf_dir):
     )
 
 
+@q(
+    "meta_blocking",
+    f"""WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+       g AS (SELECT DISTINCT doc_id, unnest({_shingles_sql('t', 3)}) AS g
+             FROM toks),
+       ok AS (SELECT g FROM g GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
+       b AS (SELECT doc_id, g.g FROM g JOIN ok USING (g)),
+       nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+       p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                    CAST(count(*) AS BIGINT) AS cbs
+             FROM b x JOIN b y USING (g) WHERE x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+       w AS (SELECT id_a, id_b, cbs,
+                    CAST((1000000 * cbs) // (na.nb + nbb.nb - cbs) AS BIGINT)
+                      AS js_w
+             FROM p JOIN nb na ON p.id_a = na.doc_id
+                    JOIN nb nbb ON p.id_b = nbb.doc_id),
+       m AS (SELECT CAST(sum(js_w) // count(*) AS BIGINT) AS mw FROM w)
+       SELECT id_a, id_b, cbs, js_w, js_w >= mw AS kept FROM w, m""",
+)
+def meta_blocking(spark, sf_dir):
+    """Meta-blocking (Papadakis TKDE 2014): score every candidate pair from
+    a df-capped 3-shingle block collection by common-block count and exact
+    integer Jaccard weight, then weight-edge-prune against the global mean
+    (operators/blocking.meta_block_prune) — the recall-preserving candidate
+    cutter between blocking and pairwise scoring. The reference's hard
+    alias-frequency cut (entity_database.py:85-100) is the degenerate
+    unweighted form of this.
+
+    Scale shape: postings are df-capped (2..20) BEFORE the self-join —
+    the same stopword discipline as ngram_jaccard; the rest is one
+    pair-keyed groupBy, two id-keyed joins and a 1-row broadcast mean.
+    All weights are integer arithmetic, so the oracle is bit-exact."""
+    from wiki_entity_linker_spark.operators.blocking import meta_block_prune
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("g")
+    )
+    ok = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= 20))
+        .select("g")
+    )
+    blocks = grams.join(ok, "g", "left_semi")
+    return meta_block_prune(blocks, id_col="doc_id", block_col="g")
+
+
+@q(
+    "tfidf_keywords",
+    f"""WITH toks AS (SELECT doc_id, unnest({_toks_sql('text')}) AS w
+                     FROM documents),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2),
+       dfc AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       s AS (SELECT doc_id, w, tf, df,
+                    round(tf * ln(n::DOUBLE / df), 6) AS score
+             FROM tf JOIN dfc USING (w), n),
+       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, w) AS rk
+             FROM s)
+       SELECT doc_id, w AS token, tf, df, score, CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 3""",
+)
+def tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by tf·idf (idf =
+    ln(N/df)), deterministic tie-break by token — the per-doc salience
+    summary a corpus browser / topic labeler runs, extending the
+    reference's corpus-global unigram counter (count_unigrams.py) to a
+    per-document ranking.
+
+    Scale shape: (doc, token) tf agg is the one corpus-wide shuffle; df is
+    a token-keyed agg of the tf SUMMARY (never re-touches text); N joins
+    as a 1-row broadcast; the ranking window partitions by doc_id — no
+    global funnel."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
+    dfc = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    s = (
+        tf.join(dfc, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    )
+    return (
+        s.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("token"), "tf", "df", "score", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------
