@@ -327,3 +327,29 @@ def test_meta_block_prune_hand_example(spark):
         (2, 3): (2, 666666, True),
         (4, 5): (1, 1000000, True),
     }
+
+
+def test_kmeans_lattice_two_obvious_clusters(spark):
+    from wiki_entity_linker_spark.operators.ann import kmeans_lattice_assign
+
+    # two tight blobs far apart: after 2 iterations every member of a blob
+    # shares a cell regardless of which seeds initialized
+    lo = [(i, [0.01 * i, 0.0, 0.0, 0.0]) for i in range(10)]
+    hi = [(100 + i, [0.9 + 0.01 * i, 1.0, 1.0, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(lo + hi, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cell"] for r in kmeans_lattice_assign(
+        df, k=2, n_iter=3).collect()}
+    assert len(out) == 20
+    assert len({out[i] for i in range(10)}) == 1
+    assert len({out[100 + i] for i in range(10)}) == 1
+    assert out[0] != out[100]
+
+
+def test_kmeans_lattice_deep_iterations_bounded(spark):
+    # localCheckpoint between iterations: n_iter=8 must not blow the plan
+    from wiki_entity_linker_spark.operators.ann import kmeans_lattice_assign
+
+    rows = [(i, [float(i % 7) / 7, float(i % 3) / 3]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_lattice_assign(df, k=3, n_iter=8)
+    assert out.count() == 40

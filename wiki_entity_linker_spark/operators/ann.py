@@ -259,3 +259,94 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("__cos_raw", 6).alias("cos"), "rank")
     )
+
+
+def kmeans_lattice_assign(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    grid: int = 1000,
+    shift: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed integer-lattice Lloyd k-means → ``(id, cell)``.
+
+    The fully distributed complement to :func:`train_ivf_centroids` (which
+    trains on a bounded driver-side slice): every step is DataFrame ops, so
+    it survives corpora where no representative slice fits one machine.
+    Made bit-portable the same way pagerank_fixed_point is — all arithmetic
+    on int64: vectors land on a positive integer grid
+    (``round((x + shift) * grid)``, shift-invariant for L2), centroids are
+    FLOORED back to the grid each M-step (quantized Lloyd; grid error
+    ~1/grid per dim), distances are exact integer sums, and argmin ties
+    break to the lowest cell index. Init = the ``k`` vectors with the
+    smallest (portable-hash, id) key, cells numbered in that order; an
+    emptied cell carries its previous centroid over.
+
+    One iteration = assign + update; the returned frame is the assignment
+    of iteration ``n_iter`` (computed against the (n_iter−1)-th update).
+
+    Scale shape: the centroid frame is k rows and BROADCASTS into the
+    assignment crossJoin (k·N intermediate, one groupBy-argmin); the
+    M-step is a (cell, dim)-keyed aggregation of posexploded members with
+    map-side combine. No driver collect anywhere; the only global sort is
+    the k-row init (orderBy + limit k).
+    """
+    from wiki_entity_linker_spark.functions.hashing import h64
+
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            vec_col,
+            lambda x: F.round((x + F.lit(float(shift))) * grid, 0).cast("long"),
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    key = h64(F.col(id_col).cast("string"))
+    cand = q.orderBy(key, id_col).limit(k)
+    w0 = Window.orderBy(h64(F.col(id_col).cast("string")), id_col)
+    cents = cand.select(
+        (F.row_number().over(w0) - 1).cast("long").alias("cell"),
+        F.col("v").alias("c"),
+    ).localCheckpoint(eager=True)
+
+    assign = None
+    for it in range(1, n_iter + 1):
+        d = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            q.crossJoin(F.broadcast(cents))
+            .select(id_col, "v", "cell", d.alias("d"))
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct("d", "cell")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select(id_col, F.col("m.cell").alias("cell"), "v")
+        )
+        if it == n_iter:
+            break
+        assign = assign.localCheckpoint(eager=True)
+        upd = (
+            assign.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(
+                F.sum("x").cast("long").alias("s"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .withColumn("cv", F.expr("s div n").cast("long"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+        )
+        carried = cents.join(upd.select("cell"), "cell", "left_anti")
+        cents = upd.unionByName(carried).localCheckpoint(eager=True)
+    return assign.select(id_col, "cell")

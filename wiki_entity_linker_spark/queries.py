@@ -4350,6 +4350,77 @@ def tfidf_keywords(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(
+    k: int = 4, n_iter: int = 2, grid: int = 1000, shift: str = "1.0",
+    dim: int = 64,
+) -> str:
+    """Unrolled integer-lattice Lloyd (operators/ann.kmeans_lattice_assign):
+    same quantization, same floor-div M-step, same (distance, cell)
+    tie-break — every intermediate is int64, so the oracle is bit-exact.
+    Reused CTEs are MATERIALIZED (DuckDB inlines plain CTEs; an unrolled
+    iteration referencing its predecessor twice would otherwise re-evaluate
+    the whole prefix exponentially)."""
+    key = h64_sql("CAST(vec_id AS VARCHAR)")
+
+    def dist(c: str) -> str:
+        return (
+            f"list_sum([ (e.v[i] - {c}.c[i]) * (e.v[i] - {c}.c[i])"
+            f" for i in range(1, {dim + 1}) ])"
+        )
+
+    parts = [
+        f"e AS MATERIALIZED (SELECT vec_id,"
+        f" [CAST(round((x + {shift}) * {grid}, 0) AS BIGINT)"
+        f" for x in embedding] AS v FROM embeddings)",
+        f"r AS (SELECT vec_id, v,"
+        f" row_number() OVER (ORDER BY {key}, vec_id) AS rn FROM e)",
+        f"c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS c"
+        f" FROM r WHERE rn <= {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS MATERIALIZED (SELECT vec_id, v, cell FROM"
+            f" (SELECT e.vec_id, e.v, {prev}.cell,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {dist(prev)}, {prev}.cell) AS rk"
+            f" FROM e, {prev}) WHERE rk = 1)"
+        )
+        if it < n_iter:
+            parts.append(
+                f"u{it} AS (SELECT cell, i, CAST(sum(x) AS BIGINT) AS s,"
+                f" CAST(count(*) AS BIGINT) AS n FROM"
+                f" (SELECT cell, unnest(v) AS x,"
+                f" generate_subscripts(v, 1) AS i FROM a{it}) GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"cn{it} AS MATERIALIZED (SELECT cell, list(s // n ORDER BY i)"
+                f" AS c FROM u{it} GROUP BY 1)"
+            )
+            parts.append(
+                f"c{it} AS MATERIALIZED (SELECT * FROM cn{it} UNION ALL"
+                f" SELECT cell, c FROM c{it - 1}"
+                f" WHERE cell NOT IN (SELECT cell FROM cn{it}))"
+            )
+    joined = ",\n       ".join(parts)
+    return f"WITH {joined}\n       SELECT vec_id, cell FROM a{n_iter}"
+
+
+@q("kmeans_lloyd", _kmeans_oracle())
+def kmeans_lloyd(spark, sf_dir):
+    """Distributed k-means (2 Lloyd iterations, k=4) over the embeddings
+    table on an integer lattice — the fully distributed counterpart to the
+    driver-slice IVF trainer (operators/ann.train_ivf_centroids), for
+    corpora where no representative sample fits one machine. See
+    operators/ann.kmeans_lattice_assign for the exact-arithmetic scheme
+    and the broadcast-k-rows / (cell,dim)-keyed-M-step scale shape."""
+    from wiki_entity_linker_spark.operators.ann import kmeans_lattice_assign
+
+    return kmeans_lattice_assign(
+        _t(spark, sf_dir, "embeddings"), k=4, n_iter=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------
