@@ -119,6 +119,7 @@ def run_headline(sf_dir: str, cpus: int | None, repeats: int = 2) -> dict:
 
     waited = _wait_for_idle()
     load_before = _loadavg()
+    ticks0 = _cpu_ticks()
     spark = get_spark("bench", cores=cpus)
     qs = q.queries()
     # warmup: session/JIT/codegen spin-up must not be billed to the first
@@ -149,6 +150,9 @@ def run_headline(sf_dir: str, cpus: int | None, repeats: int = 2) -> dict:
         "host_load_before": round(load_before, 2),
         "host_load_after": round(_loadavg(), 2),
         "idle_wait_sec": waited,
+        # hypervisor steal ACROSS the headline leg: the honest contention
+        # number (loadavg can read 0.2 while neighbors steal >10%)
+        "host_steal_pct": _steal_pct(ticks0, _cpu_ticks()),
     }
     # sf1 leg (VERDICT r3 #6): the data-bound expensive queries once more
     # on deterministically 10x-scaled tables; single-shot (the 10x floor
@@ -188,10 +192,12 @@ def run_er(scale: str, cpus: int, corpus_root: str) -> dict:
     spark = get_spark("bench-er", cores=cpus)
     sf = spark.read.parquet(f"{d}/source_files.parquet")
     n_files = sf.count()
+    ticks0 = _cpu_ticks()
     t0 = time.time()
     out = run_er_pipeline(spark, sf, None, workdir="", checkpoint=False)
     n_clusters = out["assignment"].select("component").distinct().count()
     wall = time.time() - t0
+    steal = _steal_pct(ticks0, _cpu_ticks())
     out["_cleanup"]()
     spark.stop()
     return {
@@ -203,12 +209,29 @@ def run_er(scale: str, cpus: int, corpus_root: str) -> dict:
         "clusters": n_clusters,
         "files_per_sec": round(n_files / wall, 2),
         "scale": scale,
+        "host_steal_pct": steal,
     }
 
 
 def _loadavg() -> float:
     # host-wide (NOT cgroup-scoped): records how contended the shared box was
     return os.getloadavg()[0]
+
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — loadavg misses
+    hypervisor-level contention entirely (round 6: a uniform ~1.4x
+    slowdown at loadavg 0.2 turned out to be ~12% steal while this guest
+    was near-idle), so every bench leg records the steal fraction ACROSS
+    its own run."""
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = list(map(int, parts))
+    return (vals[7] if len(vals) > 7 else 0, sum(vals))
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else 0.0
 
 
 def _wait_for_idle() -> float:

@@ -2451,15 +2451,18 @@ def sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood_pairs(d, "k", "doc_id", window=4)
 
 
-@q(
-    "dedup_verdicts",
-    f"""WITH ex AS (SELECT doc_id,
+def _verdict_ctes(rel: str) -> str:
+    """The dedup_verdicts oracle as a reusable CTE block over relation
+    ``rel`` (ends with ``vfinal`` = one verdict row per doc) — shared by
+    the dedup_verdicts and curation_kept oracles so the composition query
+    provably runs the same decision table."""
+    return f"""ex AS (SELECT doc_id,
                           min(doc_id) OVER (PARTITION BY
                             sha256(lower(trim(regexp_replace(text, '\\s+', ' ',
                                                              'g')))))
                             AS canonical_id
-                   FROM documents),
-       toksv AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+                   FROM {rel}),
+       toksv AS (SELECT doc_id, {_toks_sql('text')} AS t FROM {rel}),
        base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
                 FROM toksv),
        gl AS (SELECT doc_id, n_tokens,
@@ -2506,13 +2509,22 @@ def sorted_neighborhood(spark, sf_dir):
                     round(COALESCE(sa.dup_tokens, 0)::DOUBLE
                           / greatest(b.n_tokens, 1), 6) AS seg_dup_frac
              FROM base b JOIN ex e USING (doc_id)
-             LEFT JOIN cov USING (doc_id) LEFT JOIN segagg sa USING (doc_id))
-       SELECT doc_id, n_tokens, canonical_id, substr_dup_frac, seg_dup_frac,
+             LEFT JOIN cov USING (doc_id) LEFT JOIN segagg sa USING (doc_id)),
+       vfinal AS (SELECT doc_id, n_tokens, canonical_id, substr_dup_frac,
+                         seg_dup_frac,
               CASE WHEN canonical_id <> doc_id THEN 'drop_exact_dup'
                    WHEN substr_dup_frac > 0.25 OR seg_dup_frac > 0.25
                      THEN 'drop_boilerplate'
                    ELSE 'keep' END AS verdict
-       FROM j""",
+       FROM j)"""
+
+
+@q(
+    "dedup_verdicts",
+    f"""WITH {_verdict_ctes('documents')}
+       SELECT doc_id, n_tokens, canonical_id, substr_dup_frac, seg_dup_frac,
+              verdict
+       FROM vfinal""",
 )
 def dedup_verdicts(spark, sf_dir):
     """The curator's decision table: one verdict per document composed
@@ -4418,6 +4430,57 @@ def kmeans_lloyd(spark, sf_dir):
 
     return kmeans_lattice_assign(
         _t(spark, sf_dir, "embeddings"), k=4, n_iter=2
+    )
+
+
+@q(
+    "curation_kept",
+    f"""WITH corpus AS (SELECT doc_id, text, source FROM documents
+                       WHERE doc_id % 50 <> 0),
+       {_verdict_ctes('corpus')},
+       ctoks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM corpus),
+       cg AS (SELECT DISTINCT doc_id, unnest({_shingles_sql('t', 3)}) AS g
+              FROM ctoks),
+       btoks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents
+                 WHERE doc_id % 50 = 0),
+       bg AS (SELECT DISTINCT unnest({_shingles_sql('t', 3)}) AS g
+              FROM btoks),
+       cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+       SELECT v.doc_id, c.source, v.n_tokens
+       FROM vfinal v JOIN corpus c USING (doc_id)
+       WHERE v.verdict = 'keep'
+         AND v.doc_id NOT IN (SELECT doc_id FROM cont)""",
+)
+def curation_kept(spark, sf_dir):
+    """The curation pipeline's kept-corpus stage as an oracle-checked
+    composition (plans/curation.py): dedup verdicts over the training
+    slice (every 50th doc held out as the benchmark) minus documents
+    sharing any 3-gram with the benchmark — exactly the ``kept`` stage
+    table of run_curation_pipeline, whose SQL provably reuses the
+    dedup_verdicts decision CTEs plus the decontamination semi-join.
+
+    Scale shape = union of the components' (each documented at its
+    registration); the assembly adds one doc_id equi-join and one
+    broadcast anti-join."""
+    from wiki_entity_linker_spark.plans.curation import (
+        CurationConfig,
+        contamination_flags,
+        dedup_verdict_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", "text"
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    v = dedup_verdict_table(corpus, CurationConfig())
+    cont = contamination_flags(corpus, bench, 3)
+    return (
+        v.filter(F.col("verdict") == "keep")
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .join(cont, "doc_id", "left")
+        .filter(~F.coalesce("is_contaminated", F.lit(False)))
+        .select("doc_id", "source", "n_tokens")
     )
 
 
