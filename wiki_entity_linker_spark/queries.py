@@ -4484,6 +4484,71 @@ def curation_kept(spark, sf_dir):
     )
 
 
+@q(
+    "unigram_surprisal",
+    f"""WITH toks AS (SELECT doc_id, unnest({_toks_sql('text')}) AS w
+                     FROM documents),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       sc AS (SELECT t.doc_id,
+                     CAST(round(ln(tot.n::DOUBLE / u.c) * 1000000, 0)
+                          AS BIGINT) AS s
+              FROM toks t JOIN uni u USING (w), tot),
+       per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(s) AS BIGINT) AS ssum
+               FROM sc GROUP BY 1)
+       SELECT doc_id, n_tokens,
+              round(ssum::DOUBLE / (1000000.0 * n_tokens), 6)
+                AS avg_surprisal
+       FROM per""",
+)
+def unigram_surprisal(spark, sf_dir):
+    """Per-document average unigram surprisal (nats): −mean ln p(w) under
+    the corpus unigram LM — the cheap stand-in for CCNet's KenLM
+    perplexity filter (Wenzek et al. 2020 §4.2 rank pages by LM score;
+    gibberish and boilerplate sit in the tails). Extends the reference's
+    unigram counter (count_unigrams.py) from counts to a per-doc quality
+    signal.
+
+    Portability: per-token surprisal is scaled to an int64
+    (round(ln(N/c)·1e6)) so the per-doc sum is EXACT integer arithmetic —
+    no float-summation-order drift between Spark partials and DuckDB's
+    scan order; the only float step is one division at the end, rounded.
+
+    Scale shape: unigram counts are one map-side-combined agg; the token
+    stream joins the unigram table on the token key (skewed hot tokens are
+    exactly the high-count / low-surprisal ones, AQE-splittable); the
+    per-doc rollup is one combinable agg. The 1-row total broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    sc = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n") / F.col("c")) * 1000000, 0)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("s").cast("long").alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("ssum") / (F.lit(1000000.0) * F.col("n_tokens")), 6
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------
