@@ -205,30 +205,34 @@ def k_core(
     peeled-off periphery (Seidman 1983), complementing triangle_counts.
 
     Iterative peeling as a DataFrame fixpoint (same loop discipline as
-    connected_components): each round semi-joins the SURVIVING edge set —
-    carried forward from the previous round, since the subgraph induced by
-    a subset of an induced subgraph's nodes is the subgraph induced on the
-    original — against the surviving node set, recomputes induced degrees,
-    and drops nodes under k; per-round ``_cut`` truncates lineage and
-    materializes the shrinking edge set, convergence is an exact count
-    comparison, and exceeding ``max_rounds`` raises LOUDLY rather than
-    returning a half-peeled set (a path graph peels one node per round, so
-    adversarial chains need the bound). Per-round shuffle work is
-    O(surviving edges) and SHRINKS monotonically — the opposite of
-    closure's doubling.
+    connected_components): each round semi-joins the surviving edge set
+    against the surviving node set, recomputes induced degrees, and drops
+    nodes under k; convergence is an exact count comparison, and exceeding
+    ``max_rounds`` raises LOUDLY rather than returning a half-peeled set (a
+    path graph peels one node per round, so adversarial chains need the
+    bound).
+
+    Scan discipline: the base edge set never gets re-scanned at full size
+    round after round — whenever the alive set has HALVED since the last
+    materialization, the induced survivor edges are re-materialized (with
+    partitions coalesced to the shrunken size) and become the new base, so
+    total materialized bytes are a geometric series ≤ 2× the input and
+    every round's scan is proportional to the CURRENT graph, not the
+    original. (Cutting unconditionally per round was measured slower: an
+    extra eager job per round outweighs the avoided scan on shallow
+    shrink steps.)
     """
+    n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 1)
     und = _cut(_undirected(edges, id_a, id_b), mgr, "kcore_und")
     alive = und.select(F.col("u").alias("id")).distinct()
     alive = _cut(alive, mgr, "kcore_alive_0")
     n_alive = alive.count()
+    n_at_cut = n_alive
     for r in range(1, max_rounds + 1):
-        surv = _cut(
+        surv = (
             und.join(alive.withColumnRenamed("id", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi"),
-            mgr,
-            f"kcore_edges_{r}",
+            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi")
         )
-        und = surv  # next round peels the already-induced (smaller) graph
         nxt = (
             surv.groupBy("u")
             .agg(F.count("*").alias("__d"))
@@ -243,6 +247,14 @@ def k_core(
         alive, n_alive = nxt, n_next
         if n_alive == 0:
             break
+        if n_alive < n_at_cut // 2:
+            # graph halved since the last base: re-materialize the induced
+            # survivor edges (still vs the PREVIOUS alive set — a superset
+            # of the current induced graph, so correctness is unaffected)
+            # at a partition count matched to the shrunken size
+            parts = max(1, min(n_part, n_alive // 50_000 + 1))
+            und = _cut(surv.coalesce(parts), mgr, f"kcore_edges_{r}")
+            n_at_cut = n_alive
     else:
         raise RuntimeError(
             f"k_core did not converge within {max_rounds} peel rounds "
