@@ -257,3 +257,35 @@ def chunk_count(n_tokens: Column | str, window: int, stride: int) -> Column:
     return F.when(n <= window, F.lit(1).cast("long")).otherwise(
         F.floor((n - window + (stride - 1)) / stride).cast("long") + 1
     )
+
+
+_SOUNDEX_FROM = "bfpvcgjkqszxdtlmnraeiouyhw"
+_SOUNDEX_TO = "111122222222334556" + "0" * 8
+
+
+def soundex(col: Column | str) -> Column:
+    """Simplified American Soundex of a lowercase alphabetic word: first
+    letter + first three consonant-class digits, adjacent duplicates
+    collapsed, vowels dropped, zero-padded (Russell 1918; the classic
+    phonetic blocking key of record linkage — Fellegi–Sunter deployments
+    block on it to catch spelling-variant names the exact key misses).
+    Simplification: h/w are treated as vowels (separators), not as
+    transparent — stated so the DuckDB oracle can reproduce the key
+    exactly with the same translate/regexp steps. Non-alphabetic input
+    yields NULL. Pure column expressions — codegen, no UDF."""
+    w = F.lower(_c(col))
+    digits = F.translate(w, _SOUNDEX_FROM, _SOUNDEX_TO)
+    # collapse runs per digit (seven passes) instead of a '(.)\1+'
+    # backreference: DuckDB's RE2 oracle has no backreferences, and the
+    # run alphabet is just 0-6, so the chain is exactly adjacent-dedup
+    collapsed = digits
+    for d in "0123456":
+        collapsed = F.regexp_replace(collapsed, f"{d}+", d)
+    tail = F.translate(F.substring(collapsed, 2, 100), "0", "")
+    return F.when(
+        w.rlike("^[a-z]+$"),
+        F.concat(
+            F.upper(F.substring(w, 1, 1)),
+            F.rpad(F.substring(tail, 1, 3), 3, "0"),
+        ),
+    )

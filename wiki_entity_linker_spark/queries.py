@@ -4549,6 +4549,64 @@ def unigram_surprisal(spark, sf_dir):
     )
 
 
+def _soundex_sql(w: str) -> str:
+    """DuckDB rendering of functions/text.soundex — run collapse as seven
+    per-digit regexp passes (RE2 has no backreferences)."""
+    digits = (
+        f"translate(lower({w}), 'bfpvcgjkqszxdtlmnraeiouyhw',"
+        " '111122222222334556' || repeat('0', 8))"
+    )
+    collapsed = digits
+    for d in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}+', '{d}', 'g')"
+    return (
+        f"upper(substr(lower({w}), 1, 1)) || rpad(substr(translate("
+        f"substr({collapsed}, 2, 100), '0', ''), 1, 3), 3, '0')"
+    )
+
+
+@q(
+    "soundex_blocking",
+    f"""WITH t AS (SELECT p_partkey, str_split(p_name, ' ')[1] AS w
+                  FROM part),
+       s AS (SELECT p_partkey, w,
+                    CASE WHEN regexp_matches(lower(w), '^[a-z]+$')
+                         THEN {_soundex_sql('w')} END AS code
+             FROM t)
+       SELECT p_partkey, w, code,
+              CAST(count(*) OVER (PARTITION BY code) AS BIGINT)
+                AS block_size
+       FROM s""",
+)
+def soundex_blocking(spark, sf_dir):
+    """Phonetic blocking keys: simplified American Soundex of each part
+    name's first word plus the resulting block sizes — the classic
+    record-linkage blocker for spelling-variant names that exact and
+    prefix keys miss (Russell 1918; standard in Fellegi–Sunter deployments
+    alongside the exact keys the ER pipeline already uses). The reference
+    blocks candidates by exact alias strings (entity_database.py:85-100);
+    soundex is the fuzz-tolerant sibling of that dictionary key.
+
+    Scale shape: the key is pure row-local column math
+    (translate/regexp — codegen, no UDF); block sizes are one window over
+    the code key, i.e. exactly the block-size profile cap_and_salt_blocks
+    consumes — a real deployment feeds these keys straight into the
+    existing stopword-cap + salting machinery."""
+    from wiki_entity_linker_spark.functions.text import soundex
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.element_at(F.split("p_name", " "), 1).alias("w")
+    )
+    s = p.select("p_partkey", "w", soundex("w").alias("code"))
+    return s.select(
+        "p_partkey",
+        "w",
+        "code",
+        F.count("*").over(Window.partitionBy("code")).cast("long")
+        .alias("block_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------
