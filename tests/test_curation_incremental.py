@@ -99,3 +99,88 @@ def test_guards(spark, replay):
             spark, str(root / "base"), batch, str(root / "bad2"),
             cfg=CurationConfig(boilerplate_frac=0.5), benchmark=bench,
         )
+
+
+def test_compact_then_append(spark, replay, tmp_path):
+    """Compacting a chain head yields a self-contained workdir (no
+    chain.json walk) that further appends build on, with final verdicts
+    still equal to the one-shot run."""
+    import os
+
+    from wiki_entity_linker_spark.plans.curation_incremental import (
+        compact_curation_chain,
+    )
+
+    full, _, _, root, train, batch, bench = replay
+    b1 = batch.filter(F.col("doc_id") < 430)
+    b2 = batch.filter(F.col("doc_id") >= 430)
+    inc1 = run_curation_increment(
+        spark, str(root / "base"), b1, str(root / "c_inc1"), benchmark=bench
+    )
+    cdir = str(root / "c_compact")
+    compact_curation_chain(spark, str(root / "c_inc1"), cdir)
+    assert not os.path.exists(os.path.join(cdir, "chain.json"))
+    # chained index resolved into full-run names
+    resolved = read_chained_index(spark, cdir, "exact_substring_grams")
+    chained = read_chained_index(spark, str(root / "c_inc1"),
+                                 "exact_substring_grams")
+    assert resolved.count() == chained.count()
+    inc2 = run_curation_increment(
+        spark, cdir, b2, str(root / "c_inc2"), benchmark=bench
+    )
+    assert _rows(full["verdicts"]) == _rows(inc2["verdicts"])
+
+
+def test_streaming_curation_append(spark, replay, tmp_path):
+    """availableNow drops absorb through the chain head; a replayed drop
+    is filtered to a no-op; compact_every=1 exercises inline compaction;
+    final verdicts equal the one-shot run."""
+    import os
+
+    from wiki_entity_linker_spark.streaming.curation_append import (
+        chain_depth,
+        chain_head,
+        streaming_curation_append,
+    )
+
+    full, _, _, root, train, batch, bench = replay
+    src = str(tmp_path / "drops")
+    os.makedirs(src, exist_ok=True)
+    chain_root = str(tmp_path / "chain")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(df, name):
+        # the file stream source wants flat files, not directory datasets
+        import shutil
+
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), os.path.join(src, f"{name}.parquet"))
+
+    b1 = batch.filter(F.col("doc_id") < 430)
+    b2 = batch.filter(F.col("doc_id") >= 430)
+    drop(b1, "b1")
+    q = streaming_curation_append(
+        spark, src, str(root / "base"), chain_root, ckpt,
+        benchmark=bench, compact_every=None,
+    )
+    q.awaitTermination()
+    head1 = chain_head(chain_root)
+    assert head1 and chain_depth(chain_root) == 1
+
+    # replayed + new rows in one later drop: only the new suffix absorbs
+    drop(b1.unionByName(b2), "b2")
+    q = streaming_curation_append(
+        spark, src, str(root / "base"), chain_root, ckpt,
+        benchmark=bench, compact_every=2,
+    )
+    q.awaitTermination()
+    head2 = chain_head(chain_root)
+    assert head2.endswith("_compact"), head2  # depth hit compact_every
+    assert chain_depth(chain_root) == 0
+
+    from wiki_entity_linker_spark.plans.checkpoint import ParquetStore
+
+    got = ParquetStore(head2).read(spark, "verdicts")
+    assert _rows(full["verdicts"]) == _rows(got)

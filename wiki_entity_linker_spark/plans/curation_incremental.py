@@ -435,3 +435,54 @@ def run_curation_increment(
         out["contamination"] = contaminated
     out["_counters"] = mgr.counters  # type: ignore[assignment]
     return out
+
+
+#: narrow tables an increment materializes per level (copied verbatim by a
+#: compaction; the chained bulky indexes are resolved through chain.json)
+_MATERIALIZED_STAGES = ("verdicts", "gram_counts", "doc_sources")
+
+
+def compact_curation_chain(
+    spark: SparkSession,
+    workdir: str,
+    out_workdir: str,
+    store=None,
+    store_factory=None,
+) -> dict[str, DataFrame]:
+    """Materialize a curation chain head into a self-contained workdir —
+    the LSM compaction step, analogous to er_incremental.compact_chain.
+    Unlike the ER compaction (which re-solves components), curation state
+    is FULLY determined by the index + narrow tables, so compaction never
+    re-reads a document: the chained gram/segment/hash indexes are resolved
+    once into full-run-named stage tables, the materialized narrow tables
+    copy verbatim, and the output carries curation_meta.json but NO
+    chain.json — subsequent appends based on it read a single level again.
+    """
+    if os.path.abspath(workdir) == os.path.abspath(out_workdir):
+        raise ValueError("compact_curation_chain: out_workdir must differ")
+    st = store or ParquetStore(out_workdir)
+    src_store = (store_factory or ParquetStore)(workdir)
+    os.makedirs(out_workdir, exist_ok=True)
+    out: dict[str, DataFrame] = {}
+    for name in _DELTA_STAGES:  # full-run stage names
+        out[name] = st.write(
+            spark,
+            name,
+            read_chained_index(spark, workdir, name, store_factory),
+        )
+    for name in _MATERIALIZED_STAGES:
+        try:
+            out[name] = st.write(spark, name, src_store.read(spark, name))
+        except Exception:
+            # a full-run workdir (depth-0 "chain") lacks gram_counts /
+            # doc_sources — the next append re-derives them as usual
+            continue
+    try:
+        out["contamination"] = st.write(
+            spark, "contamination", src_store.read(spark, "contamination")
+        )
+    except Exception:
+        pass
+    with open(_meta_path(out_workdir), "w") as f:
+        json.dump({"cfg": _load_cfg(workdir)}, f)
+    return out
