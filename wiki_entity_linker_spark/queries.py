@@ -4362,17 +4362,22 @@ def tfidf_keywords(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(
+def _kmeans_ctes(
     k: int = 4, n_iter: int = 2, grid: int = 1000, shift: str = "1.0",
-    dim: int = 64,
-) -> str:
-    """Unrolled integer-lattice Lloyd (operators/ann.kmeans_lattice_assign):
-    same quantization, same floor-div M-step, same (distance, cell)
-    tie-break — every intermediate is int64, so the oracle is bit-exact.
-    Reused CTEs are MATERIALIZED (DuckDB inlines plain CTEs; an unrolled
-    iteration referencing its predecessor twice would otherwise re-evaluate
-    the whole prefix exponentially)."""
+    dim: int = 64, with_raw: bool = False,
+) -> tuple[list[str], str]:
+    """Unrolled integer-lattice Lloyd (operators/ann.kmeans_lattice_assign)
+    as a reusable CTE block: same quantization, same floor-div M-step, same
+    (distance, cell) tie-break — every intermediate is int64, so the oracle
+    is bit-exact. Reused CTEs are MATERIALIZED (DuckDB inlines plain CTEs;
+    an unrolled iteration referencing its predecessor twice would otherwise
+    re-evaluate the whole prefix exponentially). ``with_raw`` threads the
+    raw double vector through the assignments (for downstream cosine, e.g.
+    semantic_dedup). Returns (cte list, final assignment CTE name)."""
     key = h64_sql("CAST(vec_id AS VARCHAR)")
+    raw_e = ", embedding::DOUBLE[] AS raw" if with_raw else ""
+    raw_a = ", e.raw" if with_raw else ""
+    raw_o = ", raw" if with_raw else ""
 
     def dist(c: str) -> str:
         return (
@@ -4383,7 +4388,7 @@ def _kmeans_oracle(
     parts = [
         f"e AS MATERIALIZED (SELECT vec_id,"
         f" [CAST(round((x + {shift}) * {grid}, 0) AS BIGINT)"
-        f" for x in embedding] AS v FROM embeddings)",
+        f" for x in embedding] AS v{raw_e} FROM embeddings)",
         f"r AS (SELECT vec_id, v,"
         f" row_number() OVER (ORDER BY {key}, vec_id) AS rn FROM e)",
         f"c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cell, v AS c"
@@ -4392,8 +4397,8 @@ def _kmeans_oracle(
     for it in range(1, n_iter + 1):
         prev = f"c{it - 1}"
         parts.append(
-            f"a{it} AS MATERIALIZED (SELECT vec_id, v, cell FROM"
-            f" (SELECT e.vec_id, e.v, {prev}.cell,"
+            f"a{it} AS MATERIALIZED (SELECT vec_id, v, cell{raw_o} FROM"
+            f" (SELECT e.vec_id, e.v, {prev}.cell{raw_a},"
             f" row_number() OVER (PARTITION BY e.vec_id"
             f" ORDER BY {dist(prev)}, {prev}.cell) AS rk"
             f" FROM e, {prev}) WHERE rk = 1)"
@@ -4414,8 +4419,16 @@ def _kmeans_oracle(
                 f" SELECT cell, c FROM c{it - 1}"
                 f" WHERE cell NOT IN (SELECT cell FROM cn{it}))"
             )
+    return parts, f"a{n_iter}"
+
+
+def _kmeans_oracle(
+    k: int = 4, n_iter: int = 2, grid: int = 1000, shift: str = "1.0",
+    dim: int = 64,
+) -> str:
+    parts, final = _kmeans_ctes(k, n_iter, grid, shift, dim)
     joined = ",\n       ".join(parts)
-    return f"WITH {joined}\n       SELECT vec_id, cell FROM a{n_iter}"
+    return f"WITH {joined}\n       SELECT vec_id, cell FROM {final}"
 
 
 @q("kmeans_lloyd", _kmeans_oracle())
@@ -4661,6 +4674,67 @@ def soundex_fuzzy_pairs(spark, sf_dir):
             F.round(jaro_winkler_udf("na", "nb"), 6).alias("jw"),
         )
         .filter(F.col("jw") >= 0.82)
+    )
+
+
+def _semantic_dedup_oracle(thr: float = 0.4) -> str:
+    parts, final = _kmeans_ctes(with_raw=True)
+    joined = ",\n       ".join(parts)
+    return f"""WITH {joined},
+       p AS (SELECT b.vec_id AS vid,
+                    round(list_cosine_similarity(a.raw, b.raw), 6) AS cos
+             FROM {final} a JOIN {final} b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       d AS (SELECT DISTINCT vid FROM p WHERE cos >= {thr})
+       SELECT vec_id, cell, vec_id IN (SELECT vid FROM d) AS is_dup
+       FROM {final}"""
+
+
+@q("semantic_dedup", _semantic_dedup_oracle(0.4))
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    embedding clustering — k-means cells bound the comparison space, exact
+    cosine runs only WITHIN a cell, and a document is dropped when an
+    earlier (lower-id) cell-mate sits above the similarity threshold
+    (first-writer-wins, the same deterministic keep rule as the exact
+    tiers). Completes the dedup family: exact/MinHash/SimHash/n-gram/
+    embedding-LSH/segment/substring/winnowing/AllPairs + semantic.
+
+    Scale shape: clustering is the distributed integer-lattice Lloyd
+    (bit-exact, see kmeans_lloyd); the only pairwise work is the
+    within-cell self-join — Σ cell² instead of n², the SemDeDup point —
+    and the domination rule is one cell-keyed join + distinct, no greedy
+    sequential scan. The threshold compares ROUNDED cosines so the
+    verdict is engine-portable."""
+    from wiki_entity_linker_spark.functions.vectors import cosine
+    from wiki_entity_linker_spark.operators.ann import kmeans_lattice_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = kmeans_lattice_assign(emb, k=4, n_iter=2).localCheckpoint(
+        eager=True  # consumed twice (pair join + final flag join)
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("raw")).join(
+        cells, "vec_id"
+    )
+    a = v.select(
+        F.col("vec_id").alias("ida"), F.col("raw").alias("ra"), "cell"
+    )
+    b = v.select(
+        F.col("vec_id").alias("vid"), F.col("raw").alias("rb"), "cell"
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("ida") < F.col("vid"))
+        .select("vid", F.round(cosine("ra", "rb"), 6).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("vid")
+        .dropDuplicates()
+        .withColumn("__d", F.lit(True))
+    )
+    return cells.join(
+        dup.withColumnRenamed("vid", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id", "cell", F.coalesce("__d", F.lit(False)).alias("is_dup")
     )
 
 
