@@ -38,7 +38,6 @@ from wiki_entity_linker_spark.functions.hashing import h64
 from wiki_entity_linker_spark.functions.text import (
     normalize_content,
     shingles,
-    token_count,
     tokenize,
 )
 from wiki_entity_linker_spark.operators.dedup import (
