@@ -110,20 +110,13 @@ def assemble_verdicts(
             ).alias("seg_dup_frac"),
         )
     )
-    thr = float(boilerplate_frac)
     return j.select(
         "doc_id",
         "n_tokens",
         "canonical_id",
         "substr_dup_frac",
         "seg_dup_frac",
-        F.when(F.col("canonical_id") != F.col("doc_id"), "drop_exact_dup")
-        .when(
-            (F.col("substr_dup_frac") > thr) | (F.col("seg_dup_frac") > thr),
-            "drop_boilerplate",
-        )
-        .otherwise("keep")
-        .alias("verdict"),
+        verdict_expr(boilerplate_frac).alias("verdict"),
     )
 
 
