@@ -102,6 +102,18 @@ SF1_QUERIES = [
     "onetoone_matching",
     "fellegi_sunter_scores",
     "value_islands",
+    # round 6: meta-blocking (df-capped postings + pair agg), distributed
+    # lattice Lloyd, the curation-kept composition, and the two text
+    # scorers. semantic_dedup / soundex_fuzzy_pairs are EXCLUDED on
+    # purpose: the 10x replication fixture turns every doc into a 10-clone
+    # family, so their within-block pair counts grow ~100x by construction
+    # (answer size, not plan waste) — the sf0.01 oracle and the headline
+    # leg cover them.
+    "meta_blocking",
+    "kmeans_lloyd",
+    "curation_kept",
+    "tfidf_keywords",
+    "unigram_surprisal",
 ]
 
 
