@@ -34,3 +34,17 @@ def test_rows_only_queries_run(spark, sf0001, name):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_rotation():
+    """The driver records only the FIRST 50 queries() rows: the round-5
+    tier (never driver-checked before round 6) must occupy the window, and
+    the ordering must be a permutation of the full registry."""
+    names = list(QS)
+    window = set(names[:50])
+    from wiki_entity_linker_spark.queries import _DRIVER_WINDOW_FIRST
+
+    missing = [n for n in _DRIVER_WINDOW_FIRST if n not in window]
+    assert not missing, missing
+    assert sorted(names) == sorted(set(names))  # no duplicates/losses
+    assert set(ORACLES) <= set(QS)
