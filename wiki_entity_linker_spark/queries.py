@@ -4738,6 +4738,62 @@ def semantic_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "weighted_sample",
+    f"""WITH d AS (SELECT doc_id, source,
+                         CAST(len({_toks_sql('text')}) AS BIGINT) AS w
+                  FROM documents),
+       u AS (SELECT doc_id, source, w,
+                    ({h64_sql('CAST(doc_id AS VARCHAR)')} + 1)
+                      / 1152921504606846976.0 AS u
+             FROM d WHERE w > 0),
+       s AS (SELECT doc_id, source, w,
+                    CAST(round(1000000000.0 * ln(u) / w, 0) AS BIGINT)
+                      AS skey
+             FROM u),
+       r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                          ORDER BY skey DESC, doc_id) AS rk
+             FROM s)
+       SELECT source, doc_id, w AS n_tokens, skey, CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 5""",
+)
+def weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, A-ES style (Efraimidis &
+    Spirakis 2006): each document draws a reproducible uniform u from the
+    portable 60-bit hash of its id and ranks by u^(1/w) — realized as the
+    monotone-equivalent ln(u)/w, scaled to an int64 key so the ranking is
+    engine-portable — keeping the top 5 per source. Token-weighted
+    sampling is the draw step behind mixture_allocation's rates when docs
+    are sampled individually rather than budget-walked; completes the
+    sampling family (budget walk / stratified / mixture / weighted).
+
+    Scale shape: key computation is row-local column math over the token
+    count; the only shuffle is the per-source ranking window — no global
+    funnel, no driver randomness (h64 makes the sample independent of
+    physical row order)."""
+    from wiki_entity_linker_spark.functions.hashing import h64
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("w")
+    ).filter(F.col("w") > 0)
+    two60 = float(1 << 60)
+    u = (h64(F.col("doc_id").cast("string")) + 1) / F.lit(two60)
+    s = d.withColumn(
+        "skey",
+        F.round(F.lit(1000000000.0) * F.log(u) / F.col("w"), 0).cast("long"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("skey").desc(), "doc_id")
+    )
+    return (
+        s.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source", "doc_id", F.col("w").alias("n_tokens"), "skey", "rk"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering
 # ---------------------------------------------------------------------------
