@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wiki_entity_linker_spark.functions.hashing import h64
-from wiki_entity_linker_spark.functions.similarity import token_jaccard
+from wiki_entity_linker_spark.functions.similarity import set_jaccard
 from wiki_entity_linker_spark.functions.text import (
     ngrams,
     normalize_content,
@@ -109,7 +109,8 @@ def minhash_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(token_jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
+            # sh arrays are shingles() output → already distinct: set_jaccard
+            F.round(set_jaccard("sh_a", "sh_b"), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -193,7 +194,7 @@ def minhash_neardup_clusters_incremental(
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
-            .filter(F.round(token_jaccard("sh_a", "sh_b"), 6) >= jaccard_threshold)
+            .filter(F.round(set_jaccard("sh_a", "sh_b"), 6) >= jaccard_threshold)
             .select("id_a", "id_b")
         )
 

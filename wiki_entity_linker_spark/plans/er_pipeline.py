@@ -38,7 +38,7 @@ from wiki_entity_linker_spark.functions.similarity import (
     jaro_winkler_udf,
     tf_compress_udf,
     tf_dot_udf,
-    token_jaccard,
+    set_jaccard,
 )
 from wiki_entity_linker_spark.functions.text import normalize_content, shingles, tokenize
 from wiki_entity_linker_spark.operators.blocking import (
@@ -251,7 +251,8 @@ def score_pairs(pairs: DataFrame, feats: DataFrame) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(token_jaccard("hsh_a", "hsh_b"), 6).alias("shingle_jaccard"),
+            # hsh = xxhash64 of DISTINCT shingles → already element-distinct
+            F.round(set_jaccard("hsh_a", "hsh_b"), 6).alias("shingle_jaccard"),
             F.round(tf_cos, 6).alias("tf_cosine"),
             F.round(jaro_winkler_udf("fname_a", "fname_b"), 6).alias("name_jw"),
         )

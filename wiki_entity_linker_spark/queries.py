@@ -3771,7 +3771,7 @@ def _fs_labeled_feature_pairs(spark, sf_dir):
     pairs pseudo-labeled by exact shingle Jaccard, with the three boolean
     agreement features attached — one definition so the estimation and the
     scoring can never drift apart."""
-    from wiki_entity_linker_spark.functions.similarity import token_jaccard
+    from wiki_entity_linker_spark.functions.similarity import set_jaccard
     from wiki_entity_linker_spark.operators.blocking import (
         lsh_band_blocks,
         minhash_from_shingles,
@@ -3793,7 +3793,7 @@ def _fs_labeled_feature_pairs(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            (F.round(token_jaccard("sh_a", "sh_b"), 6) >= 0.3).alias("is_match"),
+            (F.round(set_jaccard("sh_a", "sh_b"), 6) >= 0.3).alias("is_match"),
         )
     )
     da = d.select(
