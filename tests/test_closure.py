@@ -112,6 +112,32 @@ def test_transitive_closure_raises_on_depth_overflow(spark):
     assert got.count() == 61 * 60 // 2  # full reachability of the chain
 
 
+def test_transitive_closure_local_solve_matches_distributed(spark):
+    """r7: the driver-side BFS tail-solve must be row-identical to the
+    doubling loop, including the depth-overflow raise (its cap is the
+    loop's convergence bound, not max_depth itself)."""
+    import pytest
+
+    # branching DAG with a diamond + a cycle: a->b->c->a, c->d, b->d, d->e
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "d"),
+             ("d", "e")] + [(f"m{i}", f"m{i+1}") for i in range(9)]
+    df = spark.createDataFrame(edges, "child string, parent string")
+    dist = {(r["child"], r["parent"])
+            for r in transitive_closure(df, max_depth=20).collect()}
+    loc = {(r["child"], r["parent"])
+           for r in transitive_closure(
+               df, max_depth=20, local_solve_threshold=10_000).collect()}
+    assert loc == dist
+    # overflow parity: 60-deep chain raises under the same bound
+    deep = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(60)], "child string, parent string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(deep, max_depth=20, local_solve_threshold=10_000)
+    ok = transitive_closure(deep, max_depth=64, local_solve_threshold=10_000)
+    assert ok.count() == 61 * 60 // 2
+
+
 def _cluster_sets(rows) -> set[frozenset]:
     from collections import defaultdict
 

@@ -222,12 +222,59 @@ def components_with_singletons(
     )
 
 
+def _local_closure(
+    spark, base: DataFrame, depth_cap: int, rounds: int, max_depth: int
+) -> DataFrame:
+    """Finish a (bounded) edge set on the driver: BFS closure with min-depth
+    tracking — identical output AND identical depth-overflow semantics to
+    the distributed doubling loop (which converges iff every reachable
+    pair's min path length is ≤ ``depth_cap`` = 2^(rounds-1))."""
+    import pandas as pd
+
+    pdf = base.select("a", "b").toPandas()  # Arrow transfer, one job
+    adj: dict = {}
+    for a, b in zip(pdf["a"], pdf["b"]):
+        adj.setdefault(a, []).append(b)
+    rows = []
+    overflow = False
+    from collections import deque
+
+    for s in adj:
+        depth = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            d = depth[x] + 1
+            for y in adj.get(x, ()):  # noqa: B905
+                if y not in depth:
+                    depth[y] = d
+                    dq.append(y)
+                    if y != s:
+                        rows.append((s, y))
+                        if d > depth_cap:
+                            overflow = True
+    if overflow:
+        raise RuntimeError(
+            f"transitive_closure did not converge within {rounds} doubling "
+            f"rounds (max_depth={max_depth}): the graph has paths longer "
+            "than max_depth. Raise max_depth (rounds grow only "
+            "logarithmically) or break cycles upstream."
+        )
+    out_schema = (
+        "a " + base.schema["a"].dataType.simpleString()
+        + ", b " + base.schema["b"].dataType.simpleString()
+    )
+    out = pd.DataFrame(sorted(set(rows)), columns=["a", "b"])
+    return spark.createDataFrame(out, out_schema)
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "child",
     dst: str = "parent",
     max_depth: int = 20,
     shuffle_partitions: int | None = None,
+    local_solve_threshold: int = 0,
 ) -> DataFrame:
     """All (src, ancestor) pairs reachable via directed edges — the Spark
     recast of create_all_types_mapping.py:20-49 (depth-capped, cycle-safe).
@@ -239,6 +286,16 @@ def transitive_closure(
     step references the closure twice per iteration, doubling the *plan* per
     round; Catalyst analysis then dominates the runtime long before the data
     does (measured: 160 s at round 5 on a 254-edge graph).
+
+    ``local_solve_threshold``: when > 0 and the deduped edge set fits under
+    it, the closure is finished on the driver with BFS (min-depth tracked, so
+    the depth-overflow raise is bit-identical to the doubling loop's
+    convergence bound) — the same tail-solve discipline as
+    :func:`connected_components`'s CC-MR hybrid: the doubling loop's rounds
+    are pure task-dispatch latency on a graph that fits in one process. Size
+    it to BOTH driver memory for the output pairs (≤ nodes × reachable-set)
+    and the O(V·E) BFS cost — a few thousand edges is the sweet spot; 0 (the
+    default) keeps the loop fully distributed.
     """
     import math
 
@@ -255,6 +312,12 @@ def transitive_closure(
         # grows in the final doubling round, so convergence needs one extra
         # no-growth round to be observable
         rounds = max(1, math.ceil(math.log2(max(2, max_depth)))) + 1
+        if local_solve_threshold and prev <= local_solve_threshold:
+            out = _local_closure(
+                edges.sparkSession, base, 2 ** (rounds - 1), rounds, max_depth
+            )
+            base.unpersist()
+            return out.select(F.col("a").alias(src), F.col("b").alias(dst))
         converged = False
         for _ in range(rounds):
             doubled = (

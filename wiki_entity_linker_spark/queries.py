@@ -413,7 +413,14 @@ def closure_query(spark, sf_dir):
             F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
         )
     )
-    out = transitive_closure(edges, "child", "parent", shuffle_partitions=8)
+    # tail-solve discipline (CC-MR hybrid, same as the flagship clustering):
+    # a few-hundred-edge graph pays ~6 barrier rounds of pure task-dispatch
+    # latency in the doubling loop; under the threshold the closure (and its
+    # depth-overflow bound) is finished on the driver, result-identically
+    out = transitive_closure(
+        edges, "child", "parent", shuffle_partitions=8,
+        local_solve_threshold=4096,
+    )
     return out.select(F.col("child").cast("long"), F.col("parent").cast("long").alias("ancestor"))
 
 
@@ -437,7 +444,13 @@ def connected_components_query(spark, sf_dir):
         .join(nodes.select(F.col("file_id").alias("id_b")), "id_b", "left_semi")
     )
     return components_with_singletons(
-        nodes, edges, id_col="file_id", shuffle_partitions=8
+        nodes, edges, id_col="file_id", shuffle_partitions=8,
+        # CC-MR hybrid (same config as the flagship er_cluster_documents):
+        # the 500-node chain fixture pays ~7 alternating-star rounds of pure
+        # task-dispatch latency otherwise; the distributed loop stays
+        # exercised (and oracle-pinned) above the threshold and in the
+        # dedicated closure unit tests
+        local_solve_threshold=500_000,
     ).select(
         F.col("id"), F.col("component")
     )
