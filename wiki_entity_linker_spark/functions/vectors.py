@@ -30,6 +30,20 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_prenorm(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """:func:`cosine` with the two norms precomputed per VECTOR instead of
+    per pair. Bit-identical doubles (same ops in the same order:
+    ``dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))``) — but a candidate
+    join that scores ~10⁶ pairs evaluates 3 interpreted higher-order
+    aggregates per pair through ``cosine()`` and only 1 through this form
+    (measured 5× on the sf1 embedding near-dup verify). Callers attach
+    ``norm(vec)`` to each SIDE's projection (per-row, before the join)."""
+    denom = _c(norm_a) * _c(norm_b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def l2_normalize(a: Column | str) -> Column:
     n = norm(a)
     return F.transform(_c(a), lambda x: F.when(n == 0, F.lit(0.0)).otherwise(x.cast("double") / n))

@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wiki_entity_linker_spark.functions.vectors import cosine, dot
+from wiki_entity_linker_spark.functions.vectors import cosine_prenorm, dot, norm
 
 
 def cosine_topk(
@@ -33,15 +33,21 @@ def cosine_topk(
     ascending corpus id for determinism (the reference's sorted-qid
     tie-break, prefix_trie_linker.py:254-255).
     """
+    # norms attached per VECTOR before the pair join (cosine_prenorm:
+    # bit-identical doubles, 1 higher-order aggregate per pair instead of 3)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"),
+        norm(query_vec_col).alias("__nq"),
     )
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("vv"))
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("vv"), norm(vec_col).alias("__nv")
+    )
     # Rank by the RAW cosine (rounding only in the output projection) so
     # top-k membership matches an oracle that orders by the unrounded value;
     # ranking the rounded score can flip neighbors within 1e-6 across engines.
     scored = v.crossJoin(F.broadcast(q)).select(
-        "query_id", id_col, cosine("qv", "vv").alias("__cos_raw")
+        "query_id", id_col,
+        cosine_prenorm("qv", "vv", "__nq", "__nv").alias("__cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos_raw").desc(), F.col(id_col).asc()
@@ -106,13 +112,19 @@ def lsh_topk(
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.dropDuplicates(["query_id", id_col])
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"),
+        norm(query_vec_col).alias("__nq"),
     )
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("vv"))
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("vv"), norm(vec_col).alias("__nv")
+    )
     scored = (
         cand.join(v, id_col)
         .join(F.broadcast(q), "query_id")
-        .select("query_id", id_col, cosine("qv", "vv").alias("__cos_raw"))
+        .select(
+            "query_id", id_col,
+            cosine_prenorm("qv", "vv", "__nq", "__nv").alias("__cos_raw"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos_raw").desc(), F.col(id_col).asc()
@@ -243,13 +255,19 @@ def ivf_topk(
     # each vector lives in exactly one cell → the probe join cannot duplicate
     cand = va.join(qa, "cell").select("query_id", id_col)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"),
+        norm(query_vec_col).alias("__nq"),
     )
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("vv"))
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("vv"), norm(vec_col).alias("__nv")
+    )
     scored = (
         cand.join(v, id_col)
         .join(F.broadcast(q), "query_id")
-        .select("query_id", id_col, cosine("qv", "vv").alias("__cos_raw"))
+        .select(
+            "query_id", id_col,
+            cosine_prenorm("qv", "vv", "__nq", "__nv").alias("__cos_raw"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos_raw").desc(), F.col(id_col).asc()

@@ -4719,26 +4719,30 @@ def semantic_dedup(spark, sf_dir):
     and the domination rule is one cell-keyed join + distinct, no greedy
     sequential scan. The threshold compares ROUNDED cosines so the
     verdict is engine-portable."""
-    from wiki_entity_linker_spark.functions.vectors import cosine
+    from wiki_entity_linker_spark.functions.vectors import cosine_prenorm, norm
     from wiki_entity_linker_spark.operators.ann import kmeans_lattice_assign
 
     emb = _t(spark, sf_dir, "embeddings")
     cells = kmeans_lattice_assign(emb, k=4, n_iter=2).localCheckpoint(
         eager=True  # consumed twice (pair join + final flag join)
     )
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("raw")).join(
-        cells, "vec_id"
-    )
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("raw"),
+        norm(F.col("embedding").cast("array<double>")).alias("nm"),
+    ).join(cells, "vec_id")
     a = v.select(
-        F.col("vec_id").alias("ida"), F.col("raw").alias("ra"), "cell"
+        F.col("vec_id").alias("ida"), F.col("raw").alias("ra"),
+        F.col("nm").alias("na"), "cell"
     )
     b = v.select(
-        F.col("vec_id").alias("vid"), F.col("raw").alias("rb"), "cell"
+        F.col("vec_id").alias("vid"), F.col("raw").alias("rb"),
+        F.col("nm").alias("nb"), "cell"
     )
     dup = (
         a.join(b, "cell")
         .filter(F.col("ida") < F.col("vid"))
-        .select("vid", F.round(cosine("ra", "rb"), 6).alias("cos"))
+        .select("vid", F.round(cosine_prenorm("ra", "rb", "na", "nb"), 6).alias("cos"))
         .filter(F.col("cos") >= 0.4)
         .select("vid")
         .dropDuplicates()
