@@ -227,7 +227,14 @@ def minhash_neardup_clusters_incremental(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .dropDuplicates([id_col])
     )
-    toks_touch = toks_b.join(touched, id_col, "left_semi").unionByName(toks_n)
+    # cut: _verify consumes toks_touch on BOTH join sides — without the cut
+    # the touched semi-join + union re-evaluates per side (measured ~2s of
+    # the sf1 append's verify stage)
+    toks_touch = _cut(
+        toks_b.join(touched, id_col, "left_semi").unionByName(toks_n),
+        mgr,
+        "minhash_inc_toks_touched",
+    )
     edges = _verify(pairs, toks_touch)
     return merge_components(
         base_comps,

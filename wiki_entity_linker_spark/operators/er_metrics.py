@@ -269,35 +269,46 @@ def fellegi_sunter_score(
     decision-rule threshold at even prior odds).
 
     ``weights``: the frame produced by :func:`fellegi_sunter_weights`
-    (feature-count rows — broadcast). One explode + one broadcast join +
-    one groupBy over the pair keys; the summed terms are the ROUNDED
-    weights, so the score is a deterministic function of the published
-    model, not of unrounded internals.
+    (feature-count rows). The weight table is PIVOTED to one row (a
+    #features-sized aggregation) and cross-joined as a broadcast literal,
+    so the per-pair score is pure row-local arithmetic — no explode (3×
+    the pair rows), no broadcast hash join, and no pair-keyed shuffle for
+    the re-aggregation (the old explode+groupBy shape shuffled the whole
+    pair table; at the sf1 bench that was ~2.5M rows through an exchange
+    for a value each row already determines). The summed terms are the
+    ROUNDED weights added in ``feature_cols`` order — the same
+    within-group order the exploded form aggregated in (array order) and
+    the same order the oracle's LATERAL VALUES emits, so scores are
+    bit-identical.
     """
-    stacked = pairs.select(
-        *pair_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("feature"),
-                        F.col(name).alias("agree"),
-                    )
-                    for name in feature_cols
-                ]
-            )
-        ).alias("f"),
-    ).select(*pair_cols, F.col("f.feature").alias("feature"), F.col("f.agree").alias("agree"))
-    w = F.broadcast(
-        weights.select("feature", "agree_weight", "disagree_weight")
+    wrow = F.broadcast(
+        weights.agg(
+            *[
+                F.max(
+                    F.when(F.col("feature") == name, F.col("agree_weight"))
+                ).alias(f"__aw_{name}")
+                for name in feature_cols
+            ],
+            *[
+                F.max(
+                    F.when(F.col("feature") == name, F.col("disagree_weight"))
+                ).alias(f"__dw_{name}")
+                for name in feature_cols
+            ],
+        )
     )
-    term = F.when(F.col("agree"), F.col("agree_weight")).otherwise(
-        F.col("disagree_weight")
-    )
+    score = None
+    for name in feature_cols:
+        term = F.when(F.col(name), F.col(f"__aw_{name}")).otherwise(
+            F.col(f"__dw_{name}")
+        )
+        score = term if score is None else score + term
     return (
-        stacked.join(w, "feature")
-        .groupBy(*pair_cols)
-        .agg(F.round(F.sum(term), precision_digits).alias("fs_score"))
+        pairs.crossJoin(wrow)
+        .select(
+            *pair_cols,
+            F.round(score, precision_digits).alias("fs_score"),
+        )
         .select(
             *pair_cols,
             "fs_score",

@@ -269,12 +269,40 @@ def k_core(
     )
 
 
+def _local_greedy_matching(spark, edges: DataFrame) -> DataFrame:
+    """Finish a (bounded) deduped edge set on the driver with the SEQUENTIAL
+    greedy matching under (score DESC, ea ASC, eb ASC) — the exact result
+    the distributed locally-dominant rounds are proven to compute, in one
+    Arrow transfer instead of O(log) barrier rounds."""
+    import pandas as pd
+
+    pdf = edges.select("ea", "eb", "s").toPandas()
+    rows = sorted(zip(pdf["ea"], pdf["eb"], pdf["s"]), key=lambda r: (r[0], r[1]))
+    rows.sort(key=lambda r: r[2], reverse=True)  # stable → s desc, ea, eb
+    taken: set = set()
+    out = []
+    for ea, eb, s in rows:
+        if ea not in taken and eb not in taken:
+            taken.add(ea)
+            taken.add(eb)
+            out.append((ea, eb, s))
+    out_schema = (
+        "ea " + edges.schema["ea"].dataType.simpleString()
+        + ", eb " + edges.schema["eb"].dataType.simpleString()
+        + ", s " + edges.schema["s"].dataType.simpleString()
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["ea", "eb", "s"]), out_schema
+    )
+
+
 def locally_dominant_matching(
     scored_pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     score_col: str = "score",
     max_rounds: int = 100,
+    local_solve_threshold: int = 0,
     mgr=None,
 ) -> DataFrame:
     """Distributed greedy one-to-one matching (Preis 1999 / locally
@@ -289,6 +317,14 @@ def locally_dominant_matching(
     remaining edges drop (two anti-joins), repeat until no edges remain —
     LOUD raise past ``max_rounds``. Returns the matched canonical pairs
     with their score.
+
+    ``local_solve_threshold``: when > 0 and the deduped edge set fits under
+    it, the sequential greedy itself runs on the driver (one Arrow
+    transfer + one sorted scan) — result-identical by the equivalence
+    above, and it skips the per-round barrier latency (each distributed
+    round is ~5 shuffles + 3 lineage cuts). The CC-MR-hybrid discipline of
+    connected_components applied to matching; 0 keeps the loop fully
+    distributed.
     """
     edges = (
         scored_pairs.select(
@@ -303,6 +339,13 @@ def locally_dominant_matching(
         .agg(F.max("s").alias("s"))
     )
     edges = _cut(edges, mgr, "ldm_edges_0")
+    if local_solve_threshold and edges.count() <= local_solve_threshold:
+        return _local_greedy_matching(
+            scored_pairs.sparkSession, edges
+        ).select(
+            F.col("ea").alias(id_a), F.col("eb").alias(id_b),
+            F.col("s").alias(score_col),
+        )
     matched = None
     for r in range(1, max_rounds + 1):
         if edges.isEmpty():

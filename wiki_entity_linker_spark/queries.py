@@ -3968,7 +3968,10 @@ def onetoone_matching(spark, sf_dir):
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
         jaccard_threshold=0.3,
     ).select("id_a", "id_b", F.col("jaccard").alias("score"))
-    return locally_dominant_matching(pairs)
+    # sequential-greedy tail-solve under the threshold (same CC-MR-hybrid
+    # discipline as the flagship clustering; result-identical per the
+    # locally-dominant == sequential-greedy equivalence, oracle-pinned)
+    return locally_dominant_matching(pairs, local_solve_threshold=500_000)
 
 
 def _fs_em_oracle(
