@@ -101,8 +101,18 @@ def minhash_neardup_pairs(
         lsh_band_blocks(sigs, id_col, bands, n_hashes), mgr, "minhash_blocks"
     )
     pairs = pairs_from_blocks(blocks, id_col)
-    a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = toks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash on the shingle-array sides: sort-merge would SORT the
+    # pair×array intermediate (pairs carrying sh_a into the second join —
+    # multi-GB at the sf1 bench) and the array side itself; hashing the
+    # per-doc side instead halves the verify stage (measured 7.1s -> 3.2s).
+    # Build side stays bounded per partition (docs/shuffle-partitions, and
+    # shuffle partitions scale with cluster cores in the 100 TB profile).
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -189,8 +199,14 @@ def minhash_neardup_clusters_incremental(
     )
 
     def _verify(pairs: DataFrame, toks: DataFrame) -> DataFrame:
-        a = toks.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = toks.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        # shuffle_hash: see minhash_neardup_pairs — avoids sorting the
+        # pair×shingle-array intermediate
+        a = toks.select(
+            F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        ).hint("shuffle_hash")
+        b = toks.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        ).hint("shuffle_hash")
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
@@ -523,11 +539,11 @@ def embedding_neardup_lsh_pairs(
     va = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         norm(vec_col).alias("na"),
-    )
+    ).hint("shuffle_hash")
     vb = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
         norm(vec_col).alias("nb"),
-    )
+    ).hint("shuffle_hash")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -919,8 +935,14 @@ def allpairs_jaccard_join(
         )
         .select("id_a", "id_b")
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    # shuffle_hash: see minhash_neardup_pairs — avoids sorting the
+    # pair×shingle-set intermediate in the verify joins
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a")).hint(
+        "shuffle_hash"
+    )
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b")).hint(
+        "shuffle_hash"
+    )
     inter = F.size(F.array_intersect("s_a", "s_b")).cast("long")
     return (
         cands.join(sa, "id_a")

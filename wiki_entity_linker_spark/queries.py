@@ -3798,8 +3798,14 @@ def _fs_labeled_feature_pairs(spark, sf_dir):
     ).localCheckpoint(eager=True)
     sigs = minhash_from_shingles(sh, "doc_id", "sh", 16)
     cand = pairs_from_blocks(lsh_band_blocks(sigs, "doc_id", 8, 16), "doc_id")
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash: see minhash_neardup_pairs — avoids sorting the
+    # pair×shingle-array intermediate
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     labeled = (
         cand.join(a, "id_a")
         .join(b, "id_b")
