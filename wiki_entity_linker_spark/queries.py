@@ -2639,11 +2639,18 @@ def bloom_decontamination(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", shingles(tokenize("text"), 3).alias("sh"))
+    # cuts: toks feeds THREE consumers (bench grams, the probed explode,
+    # per-doc sizes) and bench feeds TWO (bitmap build, exact verify
+    # semi-join) — without them each consumer re-runs the tokenize+shingle
+    # scan / the bench dedup shuffle
+    toks = d.select(
+        "doc_id", shingles(tokenize("text"), 3).alias("sh")
+    ).localCheckpoint(eager=True)
     bench = (
         toks.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode("sh").alias("g"))
         .dropDuplicates(["g"])
+        .localCheckpoint(eager=True)
     )
     bm = bloom_bitmap(bench, "g")
     # probe as a ROW filter, not a HOF: explode + scalar bloom test stays
@@ -4364,7 +4371,13 @@ def tfidf_keywords(spark, sf_dir):
     global funnel."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
+    # cut: tf feeds BOTH the df aggregation and the scoring join — without
+    # it Catalyst re-runs the tokenize+explode+agg pass per consumer
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfc = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     n = d.agg(F.count("*").cast("long").alias("n"))
     s = (
