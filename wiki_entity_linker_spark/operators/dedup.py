@@ -401,10 +401,20 @@ def ngram_jaccard_pairs(
         and bounds["hi"] < (1 << 31)
     )
     n_part = 2 * inv.sparkSession.sparkContext.defaultParallelism
+    # attach each doc's kept-gram count to its postings BEFORE the
+    # self-join, so every pair row carries na+nb (one extra int64 through
+    # the pair shuffle) and the Jaccard is computable straight out of the
+    # aggregation — the old shape re-joined the pair table (43.9M rows at
+    # the sf1 bench) against sizes TWICE after the agg, which cost more
+    # than the whole agg's shuffle. The size attach itself is an
+    # O(corpus-grams) equi-join (broadcast when sizes fits, shuffle at
+    # scale), two orders of magnitude smaller than the pair stream.
+    inv_n = inv.join(sizes, "id")
     pair_src = (
-        inv.alias("x").join(inv.alias("y"), "gram")
+        inv_n.alias("x").join(inv_n.alias("y"), "gram")
         .filter(F.col("x.id") < F.col("y.id"))
     )
+    sab = (F.col("x.n_grams") + F.col("y.n_grams")).alias("sab")
     if pack:
         shared = (
             pair_src.select(
@@ -414,36 +424,35 @@ def ngram_jaccard_pairs(
                 (
                     F.shiftleft(F.col("x.id").cast("long"), 32)
                     + F.col("y.id").cast("long")
-                ).alias("k")
+                ).alias("k"),
+                sab,
             )
             .repartition(n_part, "k")
             .groupBy("k")
-            .agg(F.count("*").alias("inter"))
+            # sab is functionally dependent on k → first() of equal values
+            .agg(F.count("*").alias("inter"), F.first("sab").alias("sab"))
             .select(
                 F.shiftrightunsigned("k", 32).cast(id_type).alias("id_a"),
                 F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
                 "inter",
+                "sab",
             )
         )
     else:
         shared = (
             pair_src.select(
-                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), sab
             )
             .repartition(n_part, "id_a", "id_b")
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+            .agg(F.count("*").alias("inter"), F.first("sab").alias("sab"))
         )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        shared.select(
             "id_a",
             "id_b",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+                F.col("inter") / (F.col("sab") - F.col("inter")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
