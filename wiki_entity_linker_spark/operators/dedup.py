@@ -570,6 +570,7 @@ def segment_dedup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     mgr=None,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide segment-level exact dedup, CCNet-style (Wenzek et al.
     2020 §4.1 deduplicates hashed paragraphs across the whole snapshot;
@@ -594,7 +595,14 @@ def segment_dedup_stats(
     """
     if seg_len < 1:
         raise ValueError(f"seg_len must be >= 1, got {seg_len}")
-    toks = docs.select(id_col, tokenize(text_col).alias("t")).filter(F.size("t") > 0)
+    # ``tokenized``: optional pre-tokenized ``(id, t)`` frame so a verdict
+    # composition tokenizes the corpus ONCE across tiers (same rule:
+    # text.tokenize(text_col))
+    toks = (
+        tokenized
+        if tokenized is not None
+        else docs.select(id_col, tokenize(text_col).alias("t"))
+    ).filter(F.size("t") > 0)
     nseg = F.floor((F.size("t") + (seg_len - 1)) / seg_len).cast("long")
     segs = toks.select(
         id_col,
@@ -654,6 +662,7 @@ def exact_substring_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     mgr=None,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document exact-substring duplicate coverage — the distributed
     recast of suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
@@ -687,8 +696,12 @@ def exact_substring_coverage(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = docs.select(
-        F.col(id_col), tokenize(text_col).alias("t")
+    # ``tokenized``: optional pre-tokenized ``(id, t)`` frame (see
+    # segment_dedup_stats) — one corpus tokenization per verdict composition
+    base = (
+        tokenized
+        if tokenized is not None
+        else docs.select(F.col(id_col), tokenize(text_col).alias("t"))
     ).select(id_col, F.size("t").cast("long").alias("n_tokens"), "t")
     grams = _cut(
         base.filter(F.col("n_tokens") >= k).select(

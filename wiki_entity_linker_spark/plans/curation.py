@@ -138,10 +138,19 @@ def dedup_verdict_table(
     ex = hashed.select(
         "doc_id", F.min("doc_id").over(w).alias("canonical_id")
     )
-    sub = exact_substring_coverage(docs, k=cfg.substr_k, mgr=mgr).select(
+    # one corpus tokenization shared by both token tiers (the sha tier
+    # hashes normalized text, not tokens); same rule both consumers apply
+    toks = _cut(
+        docs.select("doc_id", tokenize("text").alias("t")), mgr, "verdict_toks"
+    )
+    sub = exact_substring_coverage(
+        docs, k=cfg.substr_k, mgr=mgr, tokenized=toks
+    ).select(
         "doc_id", "n_tokens", F.col("covered_frac").alias("substr_dup_frac")
     )
-    seg = segment_dedup_stats(docs, seg_len=cfg.seg_len, mgr=mgr).select(
+    seg = segment_dedup_stats(
+        docs, seg_len=cfg.seg_len, mgr=mgr, tokenized=toks
+    ).select(
         "doc_id", F.col("dup_tokens").alias("seg_dup")
     )
     return assemble_verdicts(ex, sub, seg, cfg.boilerplate_frac)

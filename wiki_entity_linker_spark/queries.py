@@ -2558,10 +2558,15 @@ def dedup_verdicts(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     ex = exact_dedup(d, "doc_id", "text").select("doc_id", "canonical_id")
-    sub = exact_substring_coverage(d, k=5).select(
+    # one corpus tokenization for both token tiers (the sha tier hashes
+    # NORMALIZED TEXT, not tokens, so it keeps its own pass)
+    toks = d.select("doc_id", tokenize("text").alias("t")).localCheckpoint(
+        eager=True
+    )
+    sub = exact_substring_coverage(d, k=5, tokenized=toks).select(
         "doc_id", "n_tokens", F.col("covered_frac").alias("substr_dup_frac")
     )
-    seg = segment_dedup_stats(d, seg_len=8).select(
+    seg = segment_dedup_stats(d, seg_len=8, tokenized=toks).select(
         "doc_id", F.col("dup_tokens").alias("seg_dup")
     )
     j = (
