@@ -71,6 +71,9 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             secs.append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
+        if not secs:  # -n 0: plans only, no timing
+            print(json.dumps({"name": name, "plan": "dumped"}), flush=True)
+            continue
         out[name] = min(secs)
         print(json.dumps({"name": name, "secs": secs, "best": min(secs)}),
               flush=True)

@@ -51,40 +51,59 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    spark = docs.sparkSession
+    # One tokenize pass, one combinable groupBy: per-doc dl AND per-term tf
+    # come from conditional aggregates over the exploded stream (the old
+    # shape tokenized twice — dl pass + term-join pass — and re-aggregated
+    # term rows per doc). df per term is then a count over the per-doc
+    # summary, and the score is row-local against a 1-row broadcast. Scores
+    # are bit-identical: each per-term contribution is the same rounded
+    # int64, a term absent from a doc contributes exactly 0 (tf = 0 zeroes
+    # the numerator), and int64 sums are order-independent; docs containing
+    # no query term are filtered out, as the old term-join implied.
     toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("token"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    perdoc = toks.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = perdoc.agg(
         F.count("*").alias("n_docs"),
         # explicit exact-int-sum / count, NOT avg(): both engines then derive
         # avgdl from the identical integer pair
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    qt = spark.createDataFrame([(t,) for t in terms], "token string")
-    tf = (
-        toks.join(F.broadcast(qt), "token")
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     one_minus_b = 1.0 - b
-    w9 = F.round(
-        (
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (
-                (F.col("tf") * (k1 + 1.0))
-                / (F.col("tf") + k1 * (one_minus_b + b * (F.col("dl") / F.col("avgdl"))))
+
+    def w9(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        return F.round(
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+                * (
+                    (tf * (k1 + 1.0))
+                    / (tf + k1 * (one_minus_b + b * (F.col("dl") / F.col("avgdl"))))
+                )
             )
-        )
-        * 1e9
-    ).cast("long")
+            * 1e9
+        ).cast("long")
+
+    s9 = w9(0)
+    for i in range(1, len(terms)):
+        s9 = s9 + w9(i)
+    any_term = F.greatest(*[F.col(f"tf{i}") for i in range(len(terms))]) \
+        if len(terms) > 1 else F.col("tf0")
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(id_col, w9.alias("w9"))
-        .groupBy(id_col)
-        .agg(F.sum("w9").alias("s9"))
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_term > 0)
+        .select(id_col, s9.alias("s9"))
     )
     ranked = scored.withColumn(
         "rank",

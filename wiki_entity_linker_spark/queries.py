@@ -2104,7 +2104,13 @@ def source_overlap(spark, sf_dir):
     grams = d.select(
         "source", F.explode(shingles(tokenize("text"), 3)).alias("g")
     )
-    perg = grams.groupBy("g").agg(F.collect_set("source").alias("ss"))
+    # cut: the per-gram source-set summary feeds BOTH the per-source counts
+    # and the shared-pair explode — one corpus shuffle instead of two
+    perg = (
+        grams.groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
+        .localCheckpoint(eager=True)
+    )
     n = (
         perg.select(F.explode("ss").alias("source"))
         .groupBy("source")
@@ -2346,11 +2352,15 @@ def collocation_lift(spark, sf_dir):
     from wiki_entity_linker_spark.functions.text import ngrams
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(tokenize("text").alias("tk"))
+    # cuts: toks feeds the unigram AND bigram aggregations, and uni feeds
+    # THREE consumers (total-count agg + both lift join sides) — without
+    # them Catalyst re-runs the tokenize scan per consumer (4 scans)
+    toks = d.select(tokenize("text").alias("tk")).localCheckpoint(eager=True)
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     nn = uni.agg(F.sum("c").cast("long").alias("n"))
     big = (
@@ -2409,7 +2419,11 @@ def vocab_coverage(spark, sf_dir):
     — no driver collect); the unigram aggregate and the per-doc rollup
     are both map-side combinable."""
     d = _t(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    # cut: the exploded token stream feeds the vocab aggregation AND the
+    # per-doc rollup — one tokenize scan instead of two
+    ex = d.select(
+        "doc_id", F.explode(tokenize("text")).alias("w")
+    ).localCheckpoint(eager=True)
     uni = ex.groupBy("w").agg(F.count("*").cast("long").alias("c"))
     vocab = (
         uni.orderBy(F.col("c").desc(), "w").limit(30)
