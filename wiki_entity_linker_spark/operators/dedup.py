@@ -409,6 +409,11 @@ def ngram_jaccard_pairs(
     # than the whole agg's shuffle. The size attach itself is an
     # O(corpus-grams) equi-join (broadcast when sizes fits, shuffle at
     # scale), two orders of magnitude smaller than the pair stream.
+    # (The size attach is re-evaluated once per self-join side — two
+    # broadcast probes over the postings, measured cheaper than cutting a
+    # third frame; statically the self-join plans as sort-merge because
+    # the join's size estimate exceeds the broadcast threshold, and AQE
+    # re-decides from actual exchange sizes at runtime.)
     inv_n = inv.join(sizes, "id")
     pair_src = (
         inv_n.alias("x").join(inv_n.alias("y"), "gram")
