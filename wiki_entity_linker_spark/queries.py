@@ -1309,9 +1309,13 @@ def er_cluster_documents(spark, sf_dir):
     oracle-checked: banding, verify threshold AND the transitive clustering
     are replicated in DuckDB (recursive CTE)."""
     d = _t(spark, sf_dir, "documents")
+    # cut the verified pairs BEFORE the components call: its scoped
+    # 8-partition override (sized for the tiny star-contraction rounds)
+    # would otherwise execute the LAZY verify chain — the query's most
+    # expensive stage — at 8 shuffle partitions instead of the session's
     pairs = minhash_neardup_pairs(
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     nodes = d.select(F.col("doc_id").alias("file_id"))
     # the flagship mirrors the ER pipeline's scale path: CC-MR hybrid
     # (driver union-find once star-contraction shrinks the edge set) —
@@ -3171,10 +3175,11 @@ def _flagship_gold_items(spark, sf_dir):
     (source × 100-char length bucket) — one definition so a banding or
     bucketing tweak can never skew one metric and not the other."""
     d = _t(spark, sf_dir, "documents")
+    # cut before the scoped-8 components call (see er_cluster_documents)
     pairs = minhash_neardup_pairs(
         d, "doc_id", "text", k_shingle=3, n_hashes=16, bands=8,
         jaccard_threshold=0.3,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     nodes = d.select(F.col("doc_id").alias("file_id"))
     comp = components_with_singletons(
         nodes, pairs, id_col="file_id", shuffle_partitions=8,
@@ -3310,15 +3315,23 @@ def blocking_quality_documents(spark, sf_dir):
         minhash_from_shingles,
         pairs_from_blocks,
     )
+    from wiki_entity_linker_spark.operators.dedup import allpairs_jaccard_join
     from wiki_entity_linker_spark.operators.er_metrics import blocking_quality
 
     d = _t(spark, sf_dir, "documents")
     sh = d.select(F.col("doc_id"), shingles(tokenize("text"), 3).alias("sh"))
     sigs = minhash_from_shingles(sh, "doc_id", "sh", 16)
     cand = pairs_from_blocks(lsh_band_blocks(sigs, "doc_id", 8, 16), "doc_id")
-    truth = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.3, max_doc_freq=None
-    ).select("id_a", "id_b")
+    # EXACT truth via the prefix-filtered AllPairs join instead of the
+    # uncapped inverted-index pair count (Σ df² — quadratic in corpus size;
+    # 90 s at the 10× fixture vs ~10 s for this shape). Same result set:
+    # the old form kept pairs with round(J, 6) >= 0.3, i.e. J >= 0.2999995
+    # exactly; AllPairs at the rational threshold 0.2999995 returns every
+    # such pair (its prune/accept tests are exact integer arithmetic), and
+    # the final filter re-applies the identical rounded comparison.
+    truth = allpairs_jaccard_join(
+        d, threshold="0.2999995", k_shingle=3
+    ).filter(F.col("jaccard") >= 0.3).select("id_a", "id_b")
     n_items = d.count()
     return blocking_quality(cand, truth, n_items)
 
