@@ -204,8 +204,13 @@ def test_round5_text_ops_plan_shapes(spark, sf001):
     plan = _plan(bm25_topk(spark, sf001))
     assert plan.count("SinglePartition") == 1  # the top-k window only
     assert "CartesianProduct" not in plan
-    # query terms + df + stats all broadcast into the token stream
-    assert plan.count("BroadcastHashJoin") >= 2
+    # r7 single-pass shape: per-doc dl + per-term tf come from ONE
+    # conditional aggregation (no term-join, no df re-join — the old shape
+    # broadcast-joined terms and df back into the token stream); the only
+    # join left is the 1-row stats broadcast into the per-doc summary
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "hashpartitioning(doc_id" in plan  # the one data-sized exchange
 
 
 def test_segment_dedup_plan_shape(spark, sf001):
