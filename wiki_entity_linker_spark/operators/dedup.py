@@ -529,25 +529,35 @@ def embedding_neardup_lsh_pairs(
     """
     from wiki_entity_linker_spark.operators.ann import rhp_lsh_buckets
 
-    cand = None
+    # All tables in ONE pass: bucket keys are table-prefixed ("t0:", "t1:",
+    # …) so the union of the per-table bucket assignments is a single
+    # exploded (id, bucket) frame with DISTINCT keys across tables — the
+    # per-bucket count/cap and the within-bucket self-join are then one
+    # window shuffle + one join shuffle instead of n_tables of each
+    # (r7: 6 shuffles → 2 at the default 3 tables), with the candidate set
+    # unchanged (same buckets, same per-table cap semantics).
+    bk = None
     for t in range(n_tables):
-        bk = rhp_lsh_buckets(df, dim, id_col, vec_col, n_planes, seed, t)
-        if max_bucket is not None:
-            w = Window.partitionBy("bucket")
-            bk = (
-                bk.withColumn("__n", F.count("*").over(w))
-                .filter(F.col("__n") <= max_bucket)
-                .drop("__n")
-            )
-        a = bk.select(F.col(id_col).alias("id_a"), "bucket")
-        b = bk.select(F.col(id_col).alias("id_b"), "bucket")
-        c = (
-            a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+        b_t = rhp_lsh_buckets(df, dim, id_col, vec_col, n_planes, seed, t)
+        bk = b_t if bk is None else bk.unionByName(b_t)
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        bk = (
+            bk.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
         )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    # cut: both self-join sides consume bk — without it the bucket window
+    # (and the n_tables projection union) is evaluated twice
+    bk = bk.localCheckpoint(eager=True)
+    a = bk.select(F.col(id_col).alias("id_a"), "bucket")
+    b = bk.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     # norms per vector, not per pair (cosine_prenorm: bit-identical; the
     # sf1 verify stage measured 7.2s -> 1.4s)
     va = df.select(
